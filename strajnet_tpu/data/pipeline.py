@@ -1,0 +1,75 @@
+"""Host-side input pipeline: TFRecords -> device-ready numpy batches.
+
+Parity target: the tf.data wiring in reference train.py:378-389 and
+inference.py:254-259, upgraded for TPU feeding:
+
+- per-host file sharding (``shard_index``/``shard_count``) replaces
+  MirroredStrategy's dataset distribution (train.py:295-296);
+- a real shuffle buffer (the reference uses 64 samples, train.py:381);
+- parallel map + prefetch; batches are delivered as numpy so the training
+  loop can ``jax.device_put`` them onto the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from strajnet_tpu.data.schema import parse_test_example, parse_train_example
+
+
+def _tf():
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+def make_train_dataset(file_pattern: str, batch_size: int,
+                       shuffle_buffer: int = 2048,
+                       shard_index: int = 0, shard_count: int = 1,
+                       seed: Optional[int] = None,
+                       repeat: bool = False):
+    tf = _tf()
+    files = tf.io.matching_files(file_pattern)
+    ds = tf.data.TFRecordDataset(files, compression_type="",
+                                 num_parallel_reads=tf.data.AUTOTUNE)
+    if shard_count > 1:
+        ds = ds.shard(shard_count, shard_index)
+    if repeat:
+        ds = ds.repeat()
+    ds = ds.shuffle(shuffle_buffer, seed=seed, reshuffle_each_iteration=True)
+    ds = ds.map(parse_train_example, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size, drop_remainder=True)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+    return ds
+
+
+def make_eval_dataset(file_pattern: str, batch_size: int,
+                      shard_index: int = 0, shard_count: int = 1):
+    tf = _tf()
+    files = tf.io.matching_files(file_pattern)
+    ds = tf.data.TFRecordDataset(files, compression_type="",
+                                 num_parallel_reads=tf.data.AUTOTUNE)
+    if shard_count > 1:
+        ds = ds.shard(shard_count, shard_index)
+    ds = ds.map(parse_train_example, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size, drop_remainder=True)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+    return ds
+
+
+def make_test_dataset(shard_path: str, batch_size: int = 1):
+    """One shard of the test split incl. scenario ids (inference.py:254-259)."""
+    tf = _tf()
+    ds = tf.data.TFRecordDataset(shard_path)
+    ds = ds.map(parse_test_example, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+    return ds
+
+
+def as_numpy(dataset) -> Iterator[dict]:
+    for batch in dataset:
+        yield {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+               for k, v in batch.items()}

@@ -1,0 +1,314 @@
+"""Occupancy / flow rasterization for WOMD scenarios, in pure JAX.
+
+Re-derivation of the waymo occupancy_flow_renderer + occupancy_flow_grids
+semantics used by the reference's offline Processor (reference
+grid_utils.py:79-435, data_preprocessing.py:262-273,339-363). The waymo
+package is not available, so the behavior is reconstructed from the task
+config (agent_points_per_side_{length,width}=48/16 box sampling) and the
+documented grid containers (SURVEY.md §7 hard-part d).
+
+Everything is expressed as dense scatter-adds over statically-shaped point
+sets (128 agents x 91 steps x 768 box points), so the whole rasterizer jits —
+it runs vectorized on host CPU for offline preprocessing and can be fused
+on-TPU for an on-chip pipeline.
+
+Flow semantics note: the reference's modified flow renderer
+(grid_utils.py:256-435) reads ``sampled_points.vx/vy`` — attributes that do
+not exist in the public waymo renderer's ``_SampledPoints`` — so it is not
+runnable against the public package. We implement the *official* backward
+flow definition instead (position difference over ``waypoint_size`` steps,
+scattered at the later position, count-normalized), which is what the GT
+waypoints and the challenge metrics assume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strajnet_tpu.config import TaskConfig
+from strajnet_tpu.data.womd import (
+    ALL_AGENT_TYPES,
+    NUM_FUTURE_STEPS,
+    NUM_PAST_STEPS,
+)
+
+NUM_HISTORY_STEPS = NUM_PAST_STEPS + 1  # past + current
+NUM_ALL_STEPS = NUM_PAST_STEPS + 1 + NUM_FUTURE_STEPS  # 91
+
+
+def stack_history(inputs: Dict[str, jnp.ndarray], times, field):
+    """Concat state/{time}/{field} along the step axis -> [A, steps]."""
+    parts = [jnp.asarray(inputs[f"state/{t}/{field}"]) for t in times]
+    return jnp.concatenate(parts, axis=-1)
+
+
+class SampledPoints(NamedTuple):
+    x: jax.Array           # [A, T, P] ego-frame meters
+    y: jax.Array
+    valid: jax.Array       # [A, T, P] bool
+    agent_type: jax.Array  # [A, T, P] int32
+
+
+def _unit_box_points(pps_length: int, pps_width: int) -> Tuple[np.ndarray,
+                                                               np.ndarray]:
+    """P = pps_length*pps_width unit-square sample offsets in [-0.5, 0.5]."""
+    sl = 0.0 if pps_length == 1 else 1.0 / (pps_length - 1)
+    sw = 0.0 if pps_width == 1 else 1.0 / (pps_width - 1)
+    xi = np.arange(pps_length) * sl - (0.5 if pps_length > 1 else 0.0)
+    yi = np.arange(pps_width) * sw - (0.5 if pps_width > 1 else 0.0)
+    ux, uy = np.meshgrid(xi, yi, indexing="ij")
+    return ux.reshape(-1).astype(np.float32), uy.reshape(-1).astype(
+        np.float32)
+
+
+def ego_frame_fields(inputs: Dict[str, jnp.ndarray], times,
+                     config: TaskConfig):
+    """Agent box fields translated/rotated into the ego frame.
+
+    Returns x, y, bbox_yaw, length, width, valid — all [A, steps].
+    """
+    x = stack_history(inputs, times, "x")
+    y = stack_history(inputs, times, "y")
+    bbox_yaw = stack_history(inputs, times, "bbox_yaw")
+    length = stack_history(inputs, times, "length")
+    width = stack_history(inputs, times, "width")
+    valid = stack_history(inputs, times, "valid").astype(jnp.int32)
+
+    sdc_idx = jnp.argmax(jnp.asarray(inputs["state/is_sdc"]))
+    sdc_x = jnp.asarray(inputs["state/current/x"])[sdc_idx, 0]
+    sdc_y = jnp.asarray(inputs["state/current/y"])[sdc_idx, 0]
+    sdc_yaw = jnp.asarray(inputs["state/current/bbox_yaw"])[sdc_idx, 0]
+
+    x = x - sdc_x
+    y = y - sdc_y
+    if config.normalize_sdc_yaw:
+        angle = math.pi / 2 - sdc_yaw
+        cos, sin = jnp.cos(angle), jnp.sin(angle)
+        x, y = x * cos - y * sin, x * sin + y * cos
+        bbox_yaw = bbox_yaw + angle
+    return x, y, bbox_yaw, length, width, valid
+
+
+def sample_agent_points(inputs: Dict[str, jnp.ndarray], times,
+                        config: TaskConfig) -> SampledPoints:
+    """Densely samples points from rotated agent boxes: [A, T, P] fields."""
+    x, y, bbox_yaw, length, width, valid = ego_frame_fields(inputs, times,
+                                                            config)
+    ux, uy = _unit_box_points(config.agent_points_per_side_length,
+                              config.agent_points_per_side_width)
+    ux = jnp.asarray(ux)[None, None, :]
+    uy = jnp.asarray(uy)[None, None, :]
+    sin = jnp.sin(bbox_yaw)[..., None]
+    cos = jnp.cos(bbox_yaw)[..., None]
+    l = length[..., None]
+    w = width[..., None]
+    px = cos * l * ux - sin * w * uy + x[..., None]
+    py = sin * l * ux + cos * w * uy + y[..., None]
+    p = ux.shape[-1]
+    a, t = x.shape
+    valid_p = jnp.broadcast_to((valid > 0)[..., None], (a, t, p))
+    atype = jnp.broadcast_to(
+        jnp.asarray(inputs["state/type"]).astype(jnp.int32)[:, None, None],
+        (a, t, p))
+    return SampledPoints(px, py, valid_p, atype)
+
+
+def to_grid(points_x, points_y, config: TaskConfig):
+    """World(ego)-meters -> integer grid cells + in-FOV mask
+    (grid_utils.py:18-60 semantics)."""
+    ppm = config.pixels_per_meter
+    gx = jnp.round(points_x * ppm).astype(jnp.int32) + config.sdc_x_in_grid
+    gy = jnp.round(-points_y * ppm).astype(jnp.int32) + config.sdc_y_in_grid
+    in_fov = ((gx >= 0) & (gx < config.grid_width_cells) &
+              (gy >= 0) & (gy < config.grid_height_cells))
+    return gx, gy, in_fov
+
+
+def _observation_mask(inputs: Dict[str, jnp.ndarray], include_observed: bool,
+                      include_occluded: bool):
+    """[A, 1] agent filter. 'Observed' = valid at any history step."""
+    if include_observed and include_occluded:
+        return None
+    hist_valid = stack_history(inputs, ["past", "current"], "valid")
+    observed = jnp.max(hist_valid, axis=1, keepdims=True) > 0
+    if include_observed:
+        return observed
+    if include_occluded:
+        return jnp.logical_not(observed)
+    raise ValueError("must include observed and/or occluded")
+
+
+def render_occupancy(inputs: Dict[str, jnp.ndarray], times,
+                     config: TaskConfig, include_observed: bool = True,
+                     include_occluded: bool = True) -> Dict[int, jax.Array]:
+    """Per-class binary occupancy grids [T, H, W] (values in {0, 1})."""
+    pts = sample_agent_points(inputs, times, config)
+    gx, gy, in_fov = to_grid(pts.x, pts.y, config)
+    keep = pts.valid & in_fov
+    mask = _observation_mask(inputs, include_observed, include_occluded)
+    if mask is not None:
+        keep = keep & mask[:, :, None]
+
+    a, t, p = gx.shape
+    h, w = config.grid_height_cells, config.grid_width_cells
+    t_idx = jnp.broadcast_to(jnp.arange(t)[None, :, None], (a, t, p))
+    lin = (t_idx * h + jnp.clip(gy, 0, h - 1)) * w + jnp.clip(gx, 0, w - 1)
+
+    out = {}
+    for obj_type in ALL_AGENT_TYPES:
+        sel = keep & (pts.agent_type == obj_type)
+        vals = sel.reshape(-1).astype(jnp.float32)
+        grid = jnp.zeros(t * h * w, jnp.float32).at[lin.reshape(-1)].add(
+            vals)
+        out[obj_type] = jnp.clip(grid.reshape(t, h, w), 0.0, 1.0)
+    return out
+
+
+def render_backward_flow(inputs: Dict[str, jnp.ndarray], times,
+                         config: TaskConfig, waypoint_size: int,
+                         include_observed: bool = True,
+                         include_occluded: bool = True
+                         ) -> Dict[int, jax.Array]:
+    """Per-class backward flow [T - waypoint_size, H, W, 2].
+
+    flow[i] at the position of step ``i + waypoint_size`` holds the
+    grid-units displacement back to step ``i`` (dx, dy) = earlier - later,
+    averaged per pixel over contributing points.
+    """
+    pts = sample_agent_points(inputs, times, config)
+    gx, gy, in_fov = to_grid(pts.x, pts.y, config)
+    # Flow requires valid boxes at both endpoints; scatter at the later one.
+    later = slice(waypoint_size, None)
+    earlier = slice(None, -waypoint_size)
+    keep = (pts.valid[:, later] & pts.valid[:, earlier] & in_fov[:, later])
+    mask = _observation_mask(inputs, include_observed, include_occluded)
+    if mask is not None:
+        keep = keep & mask[:, :, None]
+
+    dx = (gx[:, earlier] - gx[:, later]).astype(jnp.float32)
+    dy = (gy[:, earlier] - gy[:, later]).astype(jnp.float32)
+    gxl, gyl = gx[:, later], gy[:, later]
+
+    a, t, p = gxl.shape
+    h, w = config.grid_height_cells, config.grid_width_cells
+    t_idx = jnp.broadcast_to(jnp.arange(t)[None, :, None], (a, t, p))
+    lin = (t_idx * h + jnp.clip(gyl, 0, h - 1)) * w + jnp.clip(gxl, 0,
+                                                              w - 1)
+    lin = lin.reshape(-1)
+
+    out = {}
+    for obj_type in ALL_AGENT_TYPES:
+        sel = (keep & (pts.agent_type[:, later] == obj_type)).reshape(
+            -1).astype(jnp.float32)
+        fx = jnp.zeros(t * h * w, jnp.float32).at[lin].add(
+            sel * dx.reshape(-1))
+        fy = jnp.zeros(t * h * w, jnp.float32).at[lin].add(
+            sel * dy.reshape(-1))
+        cnt = jnp.zeros(t * h * w, jnp.float32).at[lin].add(sel)
+        denom = jnp.where(cnt > 0, cnt, 1.0)
+        flow = jnp.stack([fx / denom, fy / denom], axis=-1)
+        out[obj_type] = flow.reshape(t, h, w, 2)
+    return out
+
+
+class TimestepGrids(NamedTuple):
+    """Per-class topdown renders over time (waymo TimestepGrids parity).
+
+    Class keys are womd TYPE_* ints; grids are [T, H, W] (occupancy) or
+    [T, H, W, 2] (flow). NamedTuple so the whole container is a pytree and
+    flows through jit.
+    """
+
+    current_occupancy: Dict[int, jax.Array]
+    past_occupancy: Dict[int, jax.Array]
+    future_observed_occupancy: Dict[int, jax.Array]
+    future_occluded_occupancy: Dict[int, jax.Array]
+    all_occupancy: Dict[int, jax.Array]      # past+current+future, all agents
+    all_flow: Dict[int, jax.Array]           # [91 - ws, H, W, 2]
+    history_flow: Dict[int, jax.Array]       # [1, H, W, 2] past[0] -> current
+
+
+class WaypointArrays(NamedTuple):
+    """Stacked GT waypoint grids for one agent class ([T_wp, H, W, ...])."""
+
+    observed_occupancy: jax.Array
+    occluded_occupancy: jax.Array
+    flow: jax.Array
+    flow_origin_occupancy: jax.Array
+
+
+def create_timestep_grids(inputs: Dict[str, jnp.ndarray],
+                          config: TaskConfig,
+                          with_future: bool = True) -> TimestepGrids:
+    waypoint_size = config.num_future_steps // config.num_waypoints
+    current = render_occupancy(inputs, ["current"], config)
+    past = render_occupancy(inputs, ["past"], config)
+    history_flow = render_backward_flow(inputs, ["past", "current"], config,
+                                        waypoint_size=NUM_PAST_STEPS)
+    if not with_future:
+        empty = {k: None for k in ALL_AGENT_TYPES}
+        return TimestepGrids(current, past, empty, empty, empty, empty,
+                             history_flow)
+
+    future_obs = render_occupancy(inputs, ["future"], config,
+                                  include_observed=True,
+                                  include_occluded=False)
+    future_occ = render_occupancy(inputs, ["future"], config,
+                                  include_observed=False,
+                                  include_occluded=True)
+    all_occ = render_occupancy(inputs, ["past", "current", "future"], config)
+    all_flow = render_backward_flow(inputs, ["past", "current", "future"],
+                                    config, waypoint_size=waypoint_size)
+    return TimestepGrids(current, past, future_obs, future_occ, all_occ,
+                         all_flow, history_flow)
+
+
+def create_waypoint_grids(grids: TimestepGrids, config: TaskConfig,
+                          obj_type: int = 1) -> WaypointArrays:
+    """GT waypoint grids for one agent class (waymo
+    create_ground_truth_waypoint_grids parity, non-cumulative and cumulative).
+
+    Waypoint k (0-based) ends at future step (k+1)*waypoint_size:
+    - observed/occluded occupancy: future render at that step
+      (max-pooled over the waypoint window if cumulative_waypoints);
+    - flow: all_flow entry landing on that global step (displacement over
+      waypoint_size steps);
+    - flow_origin_occupancy: all-agent occupancy of this class one
+      waypoint_size earlier.
+    """
+    ws = config.num_future_steps // config.num_waypoints
+    n = config.num_waypoints
+    fo = grids.future_observed_occupancy[obj_type]
+    fc = grids.future_occluded_occupancy[obj_type]
+    ao = grids.all_occupancy[obj_type]
+    af = grids.all_flow[obj_type]
+
+    obs, occ, flow, origin = [], [], [], []
+    for k in range(n):
+        end = (k + 1) * ws  # future-relative, 1-based step index
+        if config.cumulative_waypoints:
+            window = slice(k * ws, (k + 1) * ws)
+            obs.append(jnp.max(fo[window], axis=0))
+            occ.append(jnp.max(fc[window], axis=0))
+        else:
+            obs.append(fo[end - 1])
+            occ.append(fc[end - 1])
+        # all_flow index i lands at global step i + ws; waypoint end's global
+        # step is NUM_HISTORY_STEPS - 1 + end.
+        flow.append(af[NUM_HISTORY_STEPS - 1 + end - ws])
+        # origin: global step (NUM_HISTORY_STEPS - 1 + end) - ws.
+        origin.append(ao[NUM_HISTORY_STEPS - 1 + end - ws])
+
+    return WaypointArrays(
+        observed_occupancy=jnp.stack(obs)[..., None],
+        occluded_occupancy=jnp.stack(occ)[..., None],
+        flow=jnp.stack(flow),
+        flow_origin_occupancy=jnp.stack(origin)[..., None],
+    )

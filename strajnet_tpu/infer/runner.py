@@ -1,0 +1,106 @@
+"""Inference / submission CLI (parity target: reference inference.py).
+
+Usage:
+    python -m strajnet_tpu.infer.runner --ids_dir ... --save_dir ... \
+        --file_dir ... --weight_path ...
+
+Fixes vs the reference entry point (broken as checked in — imports from a
+nonexistent ``swinT`` module and branches on an undefined name,
+SURVEY.md §2.8-2/3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import Optional, Set
+
+import jax
+import jax.numpy as jnp
+
+from strajnet_tpu.config import STRAJNET_CONFIG, TrainConfig
+from strajnet_tpu.data.pipeline import as_numpy, make_test_dataset
+from strajnet_tpu.infer.submission import (
+    ChallengeSubmission,
+    ScenarioPrediction,
+    quantize_waypoints,
+    save_submission,
+)
+from strajnet_tpu.train.checkpoints import CheckpointManager
+from strajnet_tpu.train.state import create_train_state
+from strajnet_tpu.train.step import make_predict_step
+
+
+def load_scenario_ids(ids_dir: str, test: bool = True) -> Set[str]:
+    """Challenge scenario-id whitelist (inference.py:261-272)."""
+    name = ("testing_scenario_ids.txt" if test
+            else "validation_scenario_ids.txt")
+    with open(os.path.join(ids_dir, name)) as f:
+        ids = {line.strip() for line in f if line.strip()}
+    print(f"original ids num:{len(ids)}")
+    return ids
+
+
+def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
+              save_dir: str) -> int:
+    print(f"Creating submission for test shard "
+          f"{os.path.basename(shard_path)}...")
+    submission = ChallengeSubmission()
+    count = 0
+    for batch in as_numpy(make_test_dataset(shard_path, batch_size=1)):
+        sc_id = batch.pop("scenario/id")[0]
+        if isinstance(sc_id, bytes):
+            sc_id = sc_id.decode("utf-8")
+        if ids is not None:
+            assert sc_id in ids, sc_id
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # GT fields absent at test time; predict path does not use them.
+        for key in ("gt_obs_ogm", "gt_occ_ogm", "gt_flow", "origin_flow"):
+            jbatch.setdefault(key, None)
+        pred_waypoints = predict_step(state, jbatch)
+        submission.scenario_predictions.append(ScenarioPrediction(
+            scenario_id=sc_id,
+            waypoints=quantize_waypoints(pred_waypoints)))
+        count += 1
+    path = save_submission(submission, save_dir, shard_path)
+    print(f"Saving {count} scenario predictions to {path}...")
+    return count
+
+
+def main():
+    p = argparse.ArgumentParser(description="STrajNet-TPU inference")
+    p.add_argument("--ids_dir", type=str,
+                   default="./Waymo_Dataset/occupancy_flow_challenge/")
+    p.add_argument("--save_dir", type=str,
+                   default="./Waymo_Dataset/inference/")
+    p.add_argument("--file_dir", type=str,
+                   default="./Waymo_Dataset/preprocessed_data/test/")
+    p.add_argument("--weight_path", type=str, default="",
+                   help="Orbax checkpoint directory")
+    p.add_argument("--no_id_check", action="store_true")
+    args = p.parse_args()
+
+    state = create_train_state(STRAJNET_CONFIG, TrainConfig())
+    if args.weight_path:
+        ckpt = CheckpointManager(args.weight_path)
+        restored, step = ckpt.restore(state)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {args.weight_path}")
+        state = restored
+        print(f"loaded checkpoint at step {step}")
+
+    predict_step = make_predict_step(STRAJNET_CONFIG.num_waypoints)
+
+    ids = None if args.no_id_check else load_scenario_ids(args.ids_dir)
+    shards = sorted(glob.glob(os.path.join(args.file_dir, "*.tfrecords")))
+    print(f"{len(shards)} found, start loading dataset")
+    total = 0
+    for shard in shards:
+        total += run_shard(state, predict_step, shard, ids, args.save_dir)
+    print(total)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""FPN-style 3D pyramid decoder over the waypoint axis.
+
+Parity target: reference modules.py:630-772 (``Pyramid3DDecoder``).
+
+Per decode step: 2x spatial upsampling of the [B, T, H, W, C] volume followed
+by a time-shared Conv2D(3x3, elu). Pyramid skips repeat an encoder residual
+over the 8 waypoints and fuse it through a Conv3D with kernel (T,1,1)
+(temporal mixing). A separate 2-stage flow head branches off at the 64^2
+level, seeded by the flow-stage residual through its own Conv3D.
+
+TPU notes: time-shared Conv2D folds T into the batch axis; UpSampling3D is a
+reshape-free ``jnp.repeat``; Conv3D(T,1,1) is expressed as a dense temporal
+contraction (einsum over a [T_k, C_in, C_out] kernel) which is exactly the
+same math but avoids XLA's generic 3D conv path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+dense_init = nn.initializers.glorot_uniform()
+
+
+def _upsample2x_time(x: jax.Array) -> jax.Array:
+    """UpSampling3D(size=(1,2,2)): nearest 2x over H and W."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+
+
+class TimeSharedConv(nn.Module):
+    """Conv2D applied independently per waypoint (Keras Conv2D on 5D input)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        y = nn.Conv(self.features, self.kernel, padding="SAME",
+                    kernel_init=dense_init, dtype=self.dtype, name="conv")(
+                        x.reshape(b * t, h, w, c))
+        y = nn.elu(y)
+        return y.reshape(b, t, h, w, self.features)
+
+
+class TemporalConv(nn.Module):
+    """Conv3D with kernel (kt, 1, 1), SAME padding over time, elu.
+
+    Equivalent to the reference's pyramid-skip Conv3D (modules.py:709-717)
+    but expressed as an einsum so XLA lowers it to MXU matmuls.
+    """
+
+    features: int
+    kt: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        kernel = self.param("kernel", dense_init, (self.kt, c, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.astype(self.dtype)
+        # SAME padding over the time axis.
+        pad_lo = (self.kt - 1) // 2
+        pad_hi = self.kt - 1 - pad_lo
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+        # windows: y[b, t] = sum_dt xp[b, t+dt] @ k[dt]
+        ys = [jnp.einsum("bhwc,cf->bhwf", xp[:, dt:dt + t].reshape(
+            b * t, h, w, c), k[dt]).reshape(b, t, h, w, self.features)
+            for dt in range(self.kt)]
+        y = sum(ys) + bias.astype(self.dtype)
+        return nn.elu(y)
+
+
+class ConvLSTM2D(nn.Module):
+    """Minimal ConvLSTM over the waypoint axis (reference conv_cnn/sep_conv
+    decoder variants, modules.py:652-659,681-684 — dead in the training
+    config but part of the component inventory).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        conv_x = nn.Conv(4 * self.features, self.kernel, padding="SAME",
+                         kernel_init=dense_init, dtype=self.dtype,
+                         name="conv_x")
+        conv_h = nn.Conv(4 * self.features, self.kernel, padding="SAME",
+                         use_bias=False, kernel_init=nn.initializers.orthogonal(),
+                         dtype=self.dtype, name="conv_h")
+
+        # Keras ConvLSTM2D(activation='elu'): elu replaces tanh for the cell
+        # candidate/output activations; gates stay sigmoid.
+        def step(carry, xt):
+            hprev, cprev = carry
+            gates = conv_x(xt) + conv_h(hprev)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            cnew = jax.nn.sigmoid(f) * cprev + jax.nn.sigmoid(i) * nn.elu(g)
+            hnew = jax.nn.sigmoid(o) * nn.elu(cnew)
+            return (hnew, cnew), hnew
+
+        h0 = jnp.zeros((b, h, w, self.features), self.dtype)
+        carry = (h0, h0)
+        outs = []
+        for k in range(t):
+            carry, y = step(carry, x[:, k])
+            outs.append(y)
+        return jnp.stack(outs, axis=1)
+
+
+class Pyramid3DDecoder(nn.Module):
+    use_pyramid: bool = True
+    shallow_decode: int = 1
+    flow_sep_decode: bool = True
+    conv_cnn: bool = False
+    sep_conv: bool = False
+    rep_res: bool = True
+    stp_grad: bool = False
+    num_waypoints: int = 8
+    bottleneck_size: Tuple[int, int] = (16, 16)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, res_list: Optional[List[jax.Array]] = None,
+                 deterministic: bool = True) -> jax.Array:
+        dt = self.dtype
+        decode_inds = [4, 3, 2, 1, 0][self.shallow_decode:]
+        decoder_channels = [48, 96, 128, 192, 384]
+        t = self.num_waypoints
+        x = x.astype(dt)
+
+        if self.stp_grad:
+            x = jax.lax.stop_gradient(x)
+
+        flow_res = None
+        if self.flow_sep_decode and res_list is not None:
+            flow_res = res_list[0]
+            res_list = res_list[1:]
+
+        ind_list = [2, 1, 0][self.shallow_decode:]
+        # spatial sizes of the pyramid skips, derived from the bottleneck
+        reshape_dim = [self.bottleneck_size[0] * (2 ** (k + 1))
+                       for k in range(len(ind_list))]
+
+        flow_x = None
+        for i, di in enumerate(decode_inds):
+            x = _upsample2x_time(x)
+            if self.conv_cnn and i == 0:
+                x = ConvLSTM2D(decoder_channels[di], dtype=dt,
+                               name=f"uplstmconv_{di}_0")(x)
+            else:
+                x = TimeSharedConv(decoder_channels[di], dtype=dt,
+                                   name=f"upconv_{di}_0")(x)
+
+            if self.use_pyramid and res_list is not None and i <= len(ind_list) - 1:
+                res = res_list[ind_list[i]]
+                if self.rep_res:
+                    res = jnp.repeat(res[:, None].astype(dt), t, axis=1)
+                if self.stp_grad:
+                    res = jax.lax.stop_gradient(res)
+                hdim = res.shape[-1]
+                res = res.reshape(-1, t, reshape_dim[i], reshape_dim[i], hdim)
+                x = x + TemporalConv(decoder_channels[di], t, dtype=dt,
+                                     name=f"resconv_{di}")(res)
+
+            if (self.flow_sep_decode and res_list is not None
+                    and i == len(ind_list) - 1):
+                fdim = flow_res.shape[-1]
+                fr = flow_res.reshape(-1, reshape_dim[-1], reshape_dim[-1],
+                                      fdim)
+                fr = jnp.repeat(fr[:, None].astype(dt), t, axis=1)
+                flow_x = x + TemporalConv(128, t, dtype=dt,
+                                          name="resconv_f")(fr)
+
+        out_dim = 2 if self.flow_sep_decode else 4
+        b, _, h, w, c = x.shape
+        y = nn.Conv(out_dim, (3, 3), padding="SAME", kernel_init=dense_init,
+                    dtype=dt, name="outconv")(x.reshape(b * t, h, w, c))
+        y = y.reshape(b, t, h, w, out_dim)
+
+        if self.flow_sep_decode:
+            f = flow_x
+            for j, di in enumerate(decode_inds[-2:]):
+                f = _upsample2x_time(f)
+                if self.sep_conv and j == 0:
+                    f = ConvLSTM2D(96, dtype=dt, name=f"upconvf_{di}_0")(f)
+                else:
+                    f = TimeSharedConv(decoder_channels[di], dtype=dt,
+                                       name=f"upconvf_{di}_0")(f)
+            bf, _, hf, wf, cf = f.shape
+            fo = nn.Conv(2, (3, 3), padding="SAME", kernel_init=dense_init,
+                         dtype=dt, name="outconv_f")(
+                             f.reshape(bf * t, hf, wf, cf))
+            fo = fo.reshape(bf, t, hf, wf, 2)
+            y = jnp.concatenate([y, fo], axis=-1)
+
+        return y

@@ -1,0 +1,258 @@
+"""Occupancy-flow training objective, pure-functional.
+
+Parity target: reference loss.py:22-300 (``OGMFlow_loss``) at the training
+flags ``use_focal_loss=False, use_pred=False, use_gt=True, no_use_warp=False``
+(reference train.py:195-196). Four terms per waypoint:
+
+1. ``observed_xe`` / ``occluded_xe``: sum-reduced sigmoid cross-entropy over
+   the grid, x1000, normalized by tensor size (loss.py:173-229). Optional
+   additive sigmoid-focal term (tfa semantics) behind ``use_focal_loss``.
+2. ``flow``: L1 on cells where GT flow is nonzero, normalized by the masked
+   count / 2 (loss.py:273-295).
+3. ``flow_warp_xe``: GT flow-origin occupancy warped by the *predicted* flow,
+   multiplied by clip(sig(obs)+sig(occ)); the reference feeds that probability
+   product back through ``sigmoid_cross_entropy_with_logits`` — a
+   labels/logits convention mismatch we reproduce for parity (loss.py:231-250,
+   §2.8 item 9 of SURVEY.md); ``use_bce_warp=True`` switches to a proper
+   binary cross-entropy.
+
+Per-waypoint gating (``use_gt``): the reference computes a *stateful* Keras
+PR-AUC of the GT-warped origin inside the loss and zeroes flow terms for
+waypoints where it is exactly 0 (empty scenes), using sum(gate) as the
+denominator (loss.py:127-140,160-170). Here the gate is the pure
+:func:`~strajnet_tpu.objective.pr_auc.pr_auc`, so the whole loss jits.
+
+Replica note: the reference divides each term by the replica count and
+multiplies it back for logging (train.py:226-229). Under jit over a global
+batch there is nothing to undo — ``replica`` stays at 1.0 and exists only for
+numerical-parity testing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from strajnet_tpu.config import LossConfig, TaskConfig
+from strajnet_tpu.core.sampling import flow_warp_origin
+from strajnet_tpu.objective.pr_auc import pr_auc
+
+
+class WaypointGrids(NamedTuple):
+    """Stacked per-waypoint grids, waypoint axis leading after batch.
+
+    The reference uses list-of-tensors containers
+    (waymo ``occupancy_flow_grids.WaypointGrids``); on TPU a single stacked
+    [B, T, H, W, C] array per field keeps everything one fused program.
+    """
+
+    observed_occupancy: jax.Array       # [B, T, H, W, 1]
+    occluded_occupancy: jax.Array       # [B, T, H, W, 1]
+    flow: jax.Array                     # [B, T, H, W, 2]
+    flow_origin_occupancy: jax.Array    # [B, T, H, W, 1] (GT only)
+
+
+def split_pred_waypoints(model_outputs: jax.Array,
+                         num_waypoints: int = 8) -> WaypointGrids:
+    """Slices [B, H, W, T*4] waypoint-major logits (train.py:105-123)."""
+    b, h, w, c = model_outputs.shape
+    x = model_outputs.reshape(b, h, w, num_waypoints, 4)
+    x = jnp.transpose(x, (0, 3, 1, 2, 4))  # [B, T, H, W, 4]
+    return WaypointGrids(
+        observed_occupancy=x[..., 0:1],
+        occluded_occupancy=x[..., 1:2],
+        flow=x[..., 2:4],
+        flow_origin_occupancy=jnp.zeros_like(x[..., 0:1]),
+    )
+
+
+def true_waypoints_from_batch(batch: Dict[str, jax.Array]) -> WaypointGrids:
+    """Assembles GT waypoint grids from parsed features (train.py:126-140)."""
+    return WaypointGrids(
+        observed_occupancy=batch["gt_obs_ogm"],
+        occluded_occupancy=batch["gt_occ_ogm"],
+        flow=batch["gt_flow"],
+        flow_origin_occupancy=batch["origin_flow"],
+    )
+
+
+def _batch_flat(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)
+
+
+def _sigmoid_xe(labels: jax.Array, logits: jax.Array) -> jax.Array:
+    """tf.nn.sigmoid_cross_entropy_with_logits."""
+    return (jnp.maximum(logits, 0.0) - logits * labels +
+            jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _sigmoid_focal_xe(labels: jax.Array, logits_or_probs: jax.Array,
+                      from_logits: bool, alpha: float = 0.25,
+                      gamma: float = 2.0) -> jax.Array:
+    """tfa.losses.SigmoidFocalCrossEntropy (per-sample, summed over last axis
+    by the Keras loss reduction; here returned elementwise pre-reduction)."""
+    if from_logits:
+        p = jax.nn.sigmoid(logits_or_probs)
+        ce = _sigmoid_xe(labels, logits_or_probs)
+    else:
+        p = logits_or_probs
+        eps = 1e-7
+        pc = jnp.clip(p, eps, 1.0 - eps)
+        ce = -(labels * jnp.log(pc) + (1.0 - labels) * jnp.log(1.0 - pc))
+    p_t = labels * p + (1.0 - labels) * (1.0 - p)
+    alpha_factor = labels * alpha + (1.0 - labels) * (1.0 - alpha)
+    modulating = (1.0 - p_t) ** gamma
+    return alpha_factor * modulating * ce
+
+
+def _bce_probs(labels: jax.Array, probs: jax.Array) -> jax.Array:
+    """Keras BinaryCrossentropy(from_logits=False, reduction=NONE):
+    clips probs by 1e-7 and averages over the last axis."""
+    eps = 1e-7
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    ce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    return jnp.mean(ce, axis=-1)
+
+
+def _focal_keras_reduced(labels: jax.Array, x: jax.Array,
+                         from_logits: bool) -> jax.Array:
+    """tfa.losses.SigmoidFocalCrossEntropy called as a Keras Loss object:
+    per-sample sum over the last axis, then SUM_OVER_BATCH_SIZE reduction
+    (mean over batch)."""
+    elem = _sigmoid_focal_xe(labels, x, from_logits)
+    return jnp.mean(jnp.sum(elem, axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class OGMFlowLoss:
+    config: TaskConfig
+    loss_cfg: LossConfig = LossConfig()
+    replica: float = 1.0
+    use_bce_warp: bool = False  # fix §2.8-9 behind a flag
+
+    def __call__(self, true_waypoints: WaypointGrids,
+                 pred_waypoint_logits: WaypointGrids) -> Dict[str, jax.Array]:
+        return ogmflow_loss(self.config, self.loss_cfg, true_waypoints,
+                            pred_waypoint_logits, replica=self.replica,
+                            use_bce_warp=self.use_bce_warp)
+
+
+def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
+                 true_waypoints: WaypointGrids,
+                 pred_waypoint_logits: WaypointGrids,
+                 replica: float = 1.0,
+                 use_bce_warp: bool = False) -> Dict[str, jax.Array]:
+    """Returns dict of 4 scalar loss terms (already weighted & normalized)."""
+    n_wp = true_waypoints.observed_occupancy.shape[1]
+
+    obs_terms: List[jax.Array] = []
+    occ_terms: List[jax.Array] = []
+    flow_terms: List[jax.Array] = []
+    warp_terms: List[jax.Array] = []
+    gates: List[jax.Array] = []
+
+    for k in range(n_wp):
+        pred_obs = pred_waypoint_logits.observed_occupancy[:, k]
+        pred_occ = pred_waypoint_logits.occluded_occupancy[:, k]
+        pred_flow = pred_waypoint_logits.flow[:, k].astype(jnp.float32)
+
+        true_obs = true_waypoints.observed_occupancy[:, k]
+        true_occ = true_waypoints.occluded_occupancy[:, k]
+        true_flow = true_waypoints.flow[:, k]
+        flow_origin = true_waypoints.flow_origin_occupancy[:, k]
+
+        obs_terms.append(_occupancy_xe(true_obs, pred_obs,
+                                       loss_cfg.ogm_weight,
+                                       loss_cfg.use_focal_loss, replica))
+        occ_terms.append(_occupancy_xe(true_occ, pred_occ,
+                                       loss_cfg.occ_weight,
+                                       loss_cfg.use_focal_loss, replica))
+
+        true_all = jnp.clip(true_obs + true_occ, 0.0, 1.0)
+
+        if loss_cfg.use_gt:
+            # Empty-scene gate: PR-AUC of GT-flow-warped origin vs all-occ
+            # (loss.py:127-140). Gate is 1 iff AUC > 0.
+            wp_org = flow_warp_origin(flow_origin, true_flow)
+            auc = pr_auc(true_all, wp_org * true_all)
+            gate = (auc > 0.0).astype(jnp.float32)
+        else:
+            gate = jnp.asarray(1.0, jnp.float32)
+        gates.append(gate)
+
+        flow_terms.append(gate * _flow_l1(true_flow, pred_flow,
+                                          loss_cfg.flow_weight, replica))
+
+        if not loss_cfg.no_use_warp:
+            warped = flow_warp_origin(flow_origin, pred_flow)
+            warp_terms.append(gate * _warp_xe(
+                true_all, pred_obs, pred_occ, warped,
+                loss_cfg.flow_origin_weight, loss_cfg.use_focal_loss,
+                loss_cfg.use_pred, use_bce_warp, replica))
+
+    gate_sum = sum(gates)
+    out = {
+        "observed_xe": sum(obs_terms) / n_wp,
+        "occluded_xe": sum(occ_terms) / n_wp,
+        "flow": _div_no_nan(sum(flow_terms), gate_sum),
+    }
+    if not loss_cfg.no_use_warp:
+        out["flow_warp_xe"] = _div_no_nan(sum(warp_terms), gate_sum)
+    else:
+        out["flow_warp_xe"] = jnp.asarray(0.0, jnp.float32)
+    return out
+
+
+def _div_no_nan(a, b):
+    return jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0), 0.0)
+
+
+def _occupancy_xe(true_occ, pred_logit, weight, use_focal, replica):
+    labels = _batch_flat(true_occ).astype(jnp.float32)
+    logits = _batch_flat(pred_logit).astype(jnp.float32)
+    xe_sum = jnp.sum(_sigmoid_xe(labels, logits))
+    if use_focal:
+        xe_sum = xe_sum + _focal_keras_reduced(labels, logits,
+                                               from_logits=True)
+    size = jnp.asarray(pred_logit.size, jnp.float32)
+    return weight * xe_sum / (size * replica)
+
+
+def _flow_l1(true_flow, pred_flow, weight, replica):
+    diff = true_flow - pred_flow
+    flow_exists = jnp.logical_or(true_flow[..., 0:1] != 0.0,
+                                 true_flow[..., 1:2] != 0.0).astype(
+                                     jnp.float32)
+    diff = diff * flow_exists
+    diff_norm = jnp.sum(jnp.abs(diff), axis=-1)
+    mean_diff = _div_no_nan(jnp.sum(diff_norm),
+                            jnp.sum(flow_exists) * replica / 2.0)
+    return weight * mean_diff
+
+
+def _warp_xe(true_all, pred_obs_logit, pred_occ_logit, warped_origin,
+             weight, use_focal, use_pred, use_bce_warp, replica):
+    labels = _batch_flat(true_all).astype(jnp.float32)
+    sig = _batch_flat(jax.nn.sigmoid(pred_obs_logit.astype(jnp.float32)) +
+                      jax.nn.sigmoid(pred_occ_logit.astype(jnp.float32)))
+    sig = jnp.clip(sig, 0.0, 1.0)
+    joint = sig * _batch_flat(warped_origin).astype(jnp.float32)
+
+    if use_pred:
+        # Reference's use_pred path unconditionally ends on the BCE sum
+        # (loss.py:268 overwrites the focal/xe branch result).
+        xe_sum = jnp.sum(_bce_probs(labels, joint))
+    elif use_bce_warp:
+        xe_sum = jnp.sum(_bce_probs(labels, joint))
+    elif use_focal:
+        xe_sum = (_focal_keras_reduced(labels, joint, from_logits=False)
+                  + jnp.sum(_bce_probs(labels, joint)))
+    else:
+        # Parity: probability product passed as a *logit* (loss.py:247).
+        xe_sum = jnp.sum(_sigmoid_xe(labels, joint))
+
+    size = jnp.asarray(true_all.size, jnp.float32)
+    return weight * xe_sum / (size * replica)

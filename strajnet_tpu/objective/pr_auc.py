@@ -1,0 +1,109 @@
+"""Pure-functional PR-AUC, bit-matching ``tf.keras.metrics.AUC``.
+
+The reference relies on the *stateful* Keras AUC both inside the loss gate
+(reference loss.py:41-45,127-140) and in the challenge metrics
+(occu_metric.py:152-174): ``AUC(num_thresholds=100, curve='PR',
+summation_method='interpolation')``. That object is non-pure and eager-only —
+it is the reason the reference cannot jit its validation step
+(occu_metric.py:148, train.py:251-252).
+
+This module rebuilds it as a pure jittable function:
+
+- Keras thresholds for ``num_thresholds=T``:
+  ``[-eps, 1/(T-1), 2/(T-1), ..., (T-2)/(T-1), 1+eps]`` with eps=1e-7;
+  a sample counts as predicted-positive at threshold t iff ``pred > t``.
+- Confusion counts are computed with a bucketize-and-reverse-cumsum instead
+  of a [N, T] comparison matrix: O(N) memory, no gathers, TPU-friendly.
+- The final value uses Keras' ``interpolate_pr_auc`` formula
+  (Davis & Goadrich 2006 interpolation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_KEPSILON = 1e-7
+
+
+def _keras_thresholds(num_thresholds: int) -> jnp.ndarray:
+    inner = [(i + 1) * 1.0 / (num_thresholds - 1)
+             for i in range(num_thresholds - 2)]
+    return jnp.asarray([-_KEPSILON] + inner + [1.0 + _KEPSILON],
+                       jnp.float32)
+
+
+def confusion_counts(y_true: jax.Array, y_pred: jax.Array,
+                     num_thresholds: int = 100):
+    """Per-threshold (tp, fp, tn, fn) with Keras AUC semantics.
+
+    Args:
+      y_true: any shape; Keras casts labels to bool, so any nonzero value
+        counts as one full positive (verified against keras
+        ``metrics_utils.update_confusion_matrix_variables``).
+      y_pred: same shape, values in [0, 1].
+
+    Returns:
+      Four [num_thresholds] float32 vectors.
+    """
+    thresholds = _keras_thresholds(num_thresholds)
+    y_true = (y_true.reshape(-1) != 0).astype(jnp.float32)
+    y_pred = y_pred.reshape(-1).astype(jnp.float32)
+
+    # bucket[i] = #thresholds strictly below pred = number of thresholds at
+    # which this sample is predicted positive.
+    bucket = jnp.searchsorted(thresholds, y_pred, side="left")
+
+    # hist_pos[j] = weight of positives with bucket == j, j in [0, T].
+    hist_pos = jnp.zeros(num_thresholds + 1, jnp.float32).at[bucket].add(
+        y_true)
+    hist_neg = jnp.zeros(num_thresholds + 1, jnp.float32).at[bucket].add(
+        1.0 - y_true)
+
+    # tp[t] = sum of positives with bucket > t  (predicted positive at t).
+    rev_cum_pos = jnp.cumsum(hist_pos[::-1])[::-1]
+    rev_cum_neg = jnp.cumsum(hist_neg[::-1])[::-1]
+    tp = rev_cum_pos[1:]
+    fp = rev_cum_neg[1:]
+    total_pos = jnp.sum(hist_pos)
+    total_neg = jnp.sum(hist_neg)
+    fn = total_pos - tp
+    tn = total_neg - fp
+    return tp, fp, tn, fn
+
+
+def _interpolate_pr_auc(tp, fp, fn, num_thresholds: int):
+    """Keras ``AUC.interpolate_pr_auc`` (Davis & Goadrich interpolation)."""
+    dtp = tp[: num_thresholds - 1] - tp[1:]
+    p = tp + fp
+    dp = p[: num_thresholds - 1] - p[1:]
+    prec_slope = dtp / jnp.maximum(dp, 0)
+    prec_slope = jnp.where(jnp.maximum(dp, 0) > 0, prec_slope, 0.0)
+    intercept = tp[1:] - prec_slope * p[1:]
+
+    # log(p0/p1) via log1p(dp/p1): equivalent in exact arithmetic to Keras'
+    # log(safe_p_ratio) but far more accurate in float32 when p0 ~ p1.
+    safe = (p[: num_thresholds - 1] > 0) & (p[1:] > 0)
+    log_ratio = jnp.where(safe,
+                          jnp.log1p(dp / jnp.where(p[1:] > 0, p[1:], 1.0)),
+                          0.0)
+
+    denom = jnp.maximum(tp[1:] + fn[1:], 0)
+    num = prec_slope * (dtp + intercept * log_ratio)
+    increment = jnp.where(denom > 0, num / denom, 0.0)
+    return jnp.sum(increment)
+
+
+@functools.partial(jax.jit, static_argnames=("num_thresholds",))
+def pr_auc(y_true: jax.Array, y_pred: jax.Array,
+           num_thresholds: int = 100) -> jax.Array:
+    """PR-AUC matching Keras AUC(curve='PR', summation='interpolation')."""
+    tp, fp, tn, fn = confusion_counts(y_true, y_pred, num_thresholds)
+    return _interpolate_pr_auc(tp, fp, fn, num_thresholds)
+
+
+def pr_auc_from_counts(tp, fp, fn, num_thresholds: int = 100) -> jax.Array:
+    """PR-AUC from accumulated confusion counts (for streaming evaluation)."""
+    return _interpolate_pr_auc(tp, fp, fn, num_thresholds)

@@ -1,0 +1,127 @@
+"""Device mesh + sharding rules (the distribution story of the framework).
+
+The reference's only parallelism is single-host data parallelism via
+``tf.distribute.MirroredStrategy`` with implicit NCCL all-reduce (reference
+train.py:69,319; SURVEY.md §2.7). The TPU-native equivalent:
+
+- a 2-D ``Mesh(('data', 'model'))`` over all devices;
+- the global batch sharded over 'data' (NamedSharding on axis 0);
+- large attention/MLP kernels optionally sharded over 'model' (tensor
+  parallelism) via name-pattern rules below;
+- gradients never touch user code: XLA GSPMD inserts the ICI all-reduces
+  where the sharded program needs them (replacing MirroredStrategy's NCCL
+  collectives and the manual ``/replica`` loss bookkeeping,
+  reference loss.py:200,229 + train.py:226-229).
+
+The model is ~13M params, so 'model' defaults to 1 (pure DP) — the rules
+exist so the same program scales TP-wise without code changes, and so the
+multi-chip dry run exercises real mixed dp/tp shardings.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None,
+                model_axis: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """Creates a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if n_devices % model_axis != 0:
+        raise ValueError(f"{n_devices} devices not divisible by "
+                         f"model_axis={model_axis}")
+    grid = devices.reshape(n_devices // model_axis, model_axis)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+# (regex on the flattened param path, PartitionSpec) — first match wins.
+# Kernels are [in, out] for Dense, [h, in, out] for tfa-MHA einsum weights.
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # Swin window attention: qkv column-parallel, proj row-parallel.
+    (r"attn/qkv/kernel$", P(None, "model")),
+    (r"attn/proj/kernel$", P("model", None)),
+    # MLPs: fc1 column-parallel, fc2 row-parallel.
+    (r"mlp/fc1/kernel$", P(None, "model")),
+    (r"mlp/fc2/kernel$", P("model", None)),
+    # tfa-style MHA: shard the head axis.
+    (r"(query|key|value)_kernel$", P("model", None, None)),
+    (r"projection_kernel$", P("model", None, None)),
+    # Per-waypoint stacked cross-attention (leading waypoint axis): shard
+    # the head axis which sits at index 1 after vmap stacking.
+    (r"cross_attn_obs/.*(query|key|value)_kernel$", P(None, "model", None,
+                                                      None)),
+    (r"cross_attn_obs/.*projection_kernel$", P(None, "model", None, None)),
+    # Trajectory FFNs.
+    (r"FFN1/kernel$", P(None, "model")),
+    (r"FFN2/kernel$", P("model", None)),
+)
+
+
+def param_partition_spec(path: str, shape: Tuple[int, ...],
+                         mesh: Optional[Mesh] = None) -> P:
+    """PartitionSpec for one parameter from its flattened path.
+
+    A rule only applies if its rank matches and every sharded dimension is
+    divisible by the mesh axis size (e.g. 3-head attention stays replicated
+    on a model_axis=2 mesh).
+    """
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            if len(spec) != len(shape):
+                continue
+            if mesh is not None:
+                ok = all(
+                    axis is None or shape[i] % mesh.shape[axis] == 0
+                    for i, axis in enumerate(spec))
+                if not ok:
+                    continue
+            return spec
+    return P()  # replicate
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def params_pspec_tree(params, mesh: Optional[Mesh] = None):
+    """PartitionSpec pytree matching ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, x: param_partition_spec(_path_str(kp), x.shape, mesh),
+        params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Places parameters on the mesh per the TP rules (replicated default)."""
+    def place(kp, x):
+        spec = param_partition_spec(_path_str(kp), x.shape, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shards every array's leading (batch) axis over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def batch_pspec_tree(batch):
+    return jax.tree_util.tree_map(lambda x: P("data"), batch)

@@ -1,0 +1,52 @@
+"""Train state + optimizer.
+
+Optimizer parity: Keras Nadam(lr) with defaults beta_1=0.9, beta_2=0.999,
+epsilon=1e-7 (reference train.py:197). The reference constructs an SGDR
+cosine-restarts schedule but never wires it (train.py:185-186); here
+``TrainConfig.use_schedule`` wires it by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from strajnet_tpu.config import ModelConfig, TrainConfig
+from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+from strajnet_tpu.objective.schedule import cosine_decay_restarts
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; ``apply_fn`` is the STrajNet apply."""
+
+
+def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    if train_cfg.use_schedule:
+        lr = cosine_decay_restarts(
+            train_cfg.lr, train_cfg.first_decay_steps,
+            t_mul=train_cfg.t_mul, m_mul=train_cfg.m_mul,
+            alpha=train_cfg.alpha)
+    else:
+        lr = train_cfg.lr
+    tx = optax.nadam(lr, b1=0.9, b2=0.999, eps=1e-7)
+    if train_cfg.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm),
+                         tx)
+    return tx
+
+
+def create_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                       rng: Optional[jax.Array] = None) -> TrainState:
+    if rng is None:
+        rng = jax.random.PRNGKey(train_cfg.seed)
+    model = STrajNet(cfg=model_cfg)
+    inputs = dummy_inputs(model_cfg, batch=1)
+    variables = model.init(rng, **inputs)
+    return TrainState.create(apply_fn=model.apply,
+                             params=variables["params"],
+                             tx=make_optimizer(train_cfg))

@@ -1,0 +1,100 @@
+"""Jitted train / eval steps (parity: reference train.py:199-292).
+
+Differences by design:
+
+- one jit program per step; loss *and* challenge metrics run on device (the
+  reference's val path is eager-only because of stateful Keras AUC,
+  occu_metric.py:148);
+- loss normalization is global over the sharded batch — no ``/replica``
+  bookkeeping (reference loss.py:200,229, train.py:226-229);
+- under a mesh, batch arrays arrive sharded over 'data' and XLA inserts the
+  gradient all-reduces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from strajnet_tpu.config import LossConfig, ModelConfig, TaskConfig
+from strajnet_tpu.objective.loss import (
+    OGMFlowLoss,
+    split_pred_waypoints,
+    true_waypoints_from_batch,
+)
+from strajnet_tpu.objective.metrics import (
+    apply_sigmoid_to_occupancy_logits,
+    compute_occupancy_flow_metrics,
+)
+
+
+def _forward(state, params, batch, training, rng=None):
+    kwargs = dict(
+        ogm=batch["ogm"], map_img=batch["map_image"], obs=batch["actors"],
+        occ=batch["occl_actors"], mapt=batch["centerlines"],
+        flow=batch["vec_flow"], training=training)
+    if training:
+        return state.apply_fn({"params": params}, **kwargs,
+                              rngs={"dropout": rng})
+    return state.apply_fn({"params": params}, **kwargs)
+
+
+def make_train_step(task_cfg: TaskConfig, loss_cfg: LossConfig,
+                    num_waypoints: int = 8,
+                    donate: bool = True) -> Callable:
+    loss_fn = OGMFlowLoss(task_cfg, loss_cfg)
+
+    def train_step(state, batch: Dict[str, jax.Array], rng: jax.Array):
+        true_waypoints = true_waypoints_from_batch(batch)
+
+        def compute_loss(params):
+            outputs = _forward(state, params, batch, True, rng)
+            logits = split_pred_waypoints(outputs, num_waypoints)
+            loss_dict = loss_fn(true_waypoints, logits)
+            total = (loss_dict["observed_xe"] + loss_dict["occluded_xe"] +
+                     loss_dict["flow"] + loss_dict["flow_warp_xe"])
+            return total, loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        loss_dict = dict(loss_dict, total=total)
+        return new_state, loss_dict
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(task_cfg: TaskConfig, loss_cfg: LossConfig,
+                   num_waypoints: int = 8, no_warp: bool = False) -> Callable:
+    loss_fn = OGMFlowLoss(task_cfg, loss_cfg)
+
+    def eval_step(state, batch: Dict[str, jax.Array]):
+        true_waypoints = true_waypoints_from_batch(batch)
+        outputs = _forward(state, state.params, batch, False)
+        logits = split_pred_waypoints(outputs, num_waypoints)
+        loss_dict = loss_fn(true_waypoints, logits)
+        loss_dict = dict(loss_dict,
+                         total=(loss_dict["observed_xe"] +
+                                loss_dict["occluded_xe"] +
+                                loss_dict["flow"] +
+                                loss_dict["flow_warp_xe"]))
+        pred_waypoints = apply_sigmoid_to_occupancy_logits(logits)
+        metrics = compute_occupancy_flow_metrics(true_waypoints,
+                                                 pred_waypoints,
+                                                 no_warp=no_warp)
+        return loss_dict, metrics
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(num_waypoints: int = 8) -> Callable:
+    """Inference forward -> post-sigmoid waypoint grids (inference.py:145-158)."""
+
+    def predict_step(state, batch: Dict[str, jax.Array]):
+        outputs = _forward(state, state.params, batch, False)
+        logits = split_pred_waypoints(outputs, num_waypoints)
+        return apply_sigmoid_to_occupancy_logits(logits)
+
+    return jax.jit(predict_step)

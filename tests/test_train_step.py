@@ -1,0 +1,96 @@
+"""End-to-end training-slice tests: jitted train step, convergence on a tiny
+synthetic dataset, and mesh-sharded multi-device execution.
+
+Uses ULTRA_TINY_MODEL_CONFIG — XLA-CPU compile time of the backward program
+dominates these tests, so the config is as small as the code paths allow.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from strajnet_tpu.config import (
+    LossConfig,
+    TaskConfig,
+    ULTRA_TINY_MODEL_CONFIG,
+    TrainConfig,
+)
+from strajnet_tpu.data.synthetic import synthetic_batch
+from strajnet_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+from strajnet_tpu.train.state import create_train_state
+from strajnet_tpu.train.step import make_eval_step, make_train_step
+
+CFG = ULTRA_TINY_MODEL_CONFIG
+TASK = TaskConfig(grid_height_cells=CFG.output_size[0],
+                  grid_width_cells=CFG.output_size[1],
+                  num_waypoints=CFG.num_waypoints)
+TRAIN = TrainConfig(lr=3e-4, use_schedule=False)
+
+
+@pytest.fixture(scope="module")
+def state():
+    return create_train_state(CFG, TRAIN)
+
+
+@pytest.fixture(scope="module")
+def train_step():
+    return make_train_step(TASK, LossConfig(), CFG.num_waypoints,
+                           donate=False)
+
+
+def _jnp_batch(b, seed=0):
+    return {k: jnp.asarray(v) for k, v in
+            synthetic_batch(CFG, b, seed).items()}
+
+
+def test_train_step_runs_updates_and_converges(state, train_step):
+    batch = _jnp_batch(2)
+    new_state, losses = train_step(state, batch, jax.random.PRNGKey(0))
+    assert int(new_state.step) == int(state.step) + 1
+    for k in ("observed_xe", "occluded_xe", "flow", "flow_warp_xe", "total"):
+        assert np.isfinite(float(losses[k])), k
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        state.params, new_state.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+    # fixed-batch convergence
+    s = state
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        s, losses = train_step(s, batch, sub)
+        if first is None:
+            first = float(losses["total"])
+    assert float(losses["total"]) < first
+
+
+def test_eval_step_losses_and_metrics(state):
+    estep = make_eval_step(TASK, LossConfig(), CFG.num_waypoints)
+    losses, metrics = estep(state, _jnp_batch(2, seed=2))
+    for k in ("vehicles_observed_auc", "vehicles_flow_epe",
+              "vehicles_flow_warped_occupancy_auc"):
+        assert np.isfinite(float(metrics[k])), k
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_multi_device_mesh_step(state, train_step):
+    """DP x TP mixed sharding on the 8-device CPU mesh; loss matches the
+    single-device program."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (conftest forces them)")
+    estep = make_eval_step(TASK, LossConfig(), CFG.num_waypoints)
+    batch = _jnp_batch(4, seed=3)
+    l_single, _ = estep(state, batch)
+
+    mesh = create_mesh(8, model_axis=2)
+    with mesh:
+        s = state.replace(params=shard_params(state.params, mesh))
+        sharded = shard_batch(batch, mesh)
+        new_state, losses = train_step(s, sharded, jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["total"]))
+        l_mesh, _ = estep(s, sharded)
+    assert float(l_single["total"]) == pytest.approx(
+        float(l_mesh["total"]), rel=1e-4)
