@@ -24,7 +24,7 @@ A100_REFERENCE_SCENES_PER_SEC = 25.0
 
 BATCH = 16
 WARMUP = 3
-ITERS = 10
+ITERS = 20
 
 
 def main():
@@ -39,20 +39,25 @@ def main():
     def forward(params, inputs):
         return model.apply(params, **inputs)
 
-    # Reduce on device, fetch the scalar to host: forces real execution even
-    # if the platform's block_until_ready is a no-op (axon tunnel).
+    # Loop the forward on device via fori_loop so a single dispatch+readback
+    # covers all ITERS iterations — the host<->device link (axon tunnel)
+    # otherwise dominates the measurement. The carried sum (scaled by ~0 and
+    # added to a dummy input channel) makes every iteration data-dependent so
+    # XLA cannot elide the loop body.
     @jax.jit
-    def forward_sum(params, inputs):
-        return jnp.sum(forward(params, inputs))
+    def forward_n(params, inputs, n):
+        def body(_, carry):
+            probed = dict(inputs)
+            probed["flow"] = probed["flow"] + carry * 1e-30
+            return jnp.sum(forward(params, probed))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     # compile + warmup
-    float(forward_sum(params, inputs))
-    for _ in range(WARMUP):
-        float(forward_sum(params, inputs))
+    float(forward_n(params, inputs, WARMUP))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        s = float(forward_sum(params, inputs))
+    s = float(forward_n(params, inputs, ITERS))
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * ITERS / dt

@@ -1,0 +1,90 @@
+"""Per-component on-device timing + FLOPs of the flagship forward pass.
+
+Each component is looped ITERS times inside one jitted fori_loop so the
+host<->device (axon tunnel) latency is amortized out of the measurement.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+import jax, jax.numpy as jnp
+from strajnet_tpu.config import STRAJNET_CONFIG as cfg
+from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+from strajnet_tpu.models.swin import SwinTransformerEncoder
+from strajnet_tpu.models.trajnet import TrajNetCrossAttention
+from strajnet_tpu.models.decoder import Pyramid3DDecoder
+from strajnet_tpu.models.fgmsa import FGMSA
+
+B = 16
+ITERS = 20
+dt = jnp.bfloat16
+
+
+def device_time(name, fn, params, inputs, probe_key):
+    """fn(params, inputs_dict) -> pytree; loops on device, returns ms/iter."""
+
+    @jax.jit
+    def loop(params, inputs):
+        def body(_, carry):
+            probed = dict(inputs)
+            probed[probe_key] = probed[probe_key] + carry.astype(
+                probed[probe_key].dtype) * 1e-30
+            out = fn(params, probed)
+            return jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    float(loop(params, inputs))  # compile + warmup
+    t0 = time.perf_counter()
+    float(loop(params, inputs))
+    ms = (time.perf_counter() - t0) / ITERS * 1000
+    print(f"{name:12s}: {ms:8.2f} ms/batch{B}  ({B / ms * 1000:7.1f} scenes/s)")
+    return ms
+
+
+model = STrajNet(cfg=cfg)
+inputs = dummy_inputs(cfg, batch=B)
+params = model.init(jax.random.PRNGKey(0), **inputs)
+
+fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
+ca = fwd.lower(params, inputs).compile().cost_analysis()
+if ca:
+    print(f"total flops/batch: {ca.get('flops', 0)/1e9:.1f} G "
+          f"({ca.get('flops', 0)/B/1e9:.2f} G/scene); "
+          f"bytes accessed: {ca.get('bytes accessed', 0)/1e9:.2f} GB")
+
+total = device_time("full", lambda p, kw: model.apply(p, **kw), params,
+                    inputs, "flow")
+
+enc = SwinTransformerEncoder(
+    img_size=cfg.input_size, embed_dim=cfg.embed_dim, depths=cfg.depths,
+    num_heads=cfg.num_heads, window_size=cfg.window_size, large_input=True,
+    dtype=dt)
+ep = {"params": params["params"]["encoder"]}
+device_time("encoder",
+            lambda p, kw: enc.apply(p, kw["ogm"], kw["map_img"], kw["flow"]),
+            ep, inputs, "flow")
+
+fg = FGMSA(q_size=(16, 16), kv_size=(16, 16), n_heads=8, n_head_channels=48,
+           n_groups=8, out_dim=384, in_dim=384, fg=True, dtype=dt)
+fgp = {"params": params["params"]["fg_msa_layer"]}
+fg_in = {"x": jnp.zeros((B, 16, 16, 384), dt)}
+device_time("fgmsa", lambda p, kw: fg.apply(p, kw["x"]), fgp, fg_in, "x")
+
+tn = TrajNetCrossAttention(pic_size=(16, 16), pic_dim=384, dtype=dt)
+tnp_ = {"params": params["params"]["trajnet_attn"]}
+tn_in = {"q": jnp.zeros((B, 8, 256, 384), dt), "obs": inputs["obs"],
+         "occ": inputs["occ"], "mapt": inputs["mapt"]}
+device_time("trajnet",
+            lambda p, kw: tn.apply(p, kw["q"], kw["obs"], kw["occ"],
+                                   kw["mapt"]),
+            tnp_, tn_in, "q")
+
+res_shapes = [(B, 64 * 64, 96), (B, 64 * 64, 96), (B, 32 * 32, 192),
+              (B, 16 * 16, 384)]
+dec = Pyramid3DDecoder(shallow_decode=1, bottleneck_size=(16, 16), dtype=dt)
+dp = {"params": params["params"]["decoder"]}
+dec_in = {"x": jnp.zeros((B, 8, 16, 16, 384), dt),
+          "res": [jnp.zeros(s, dt) for s in res_shapes]}
+device_time("decoder", lambda p, kw: dec.apply(p, kw["x"], kw["res"]), dp,
+            dec_in, "x")
