@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from strajnet_tpu.ops.upconv import upsample2x_conv3x3
+
 Dtype = Any
 dense_init = nn.initializers.glorot_uniform()
 
@@ -29,6 +31,44 @@ dense_init = nn.initializers.glorot_uniform()
 def _upsample2x_time(x: jax.Array) -> jax.Array:
     """UpSampling3D(size=(1,2,2)): nearest 2x over H and W."""
     return jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+
+
+class _ConvParams(nn.Module):
+    """3x3 conv parameters with nn.Conv-compatible naming."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", dense_init,
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class FusedUpConv(nn.Module):
+    """UpSampling3D(1,2,2) + time-shared Conv2D(3x3, elu), fused.
+
+    Same parameters (and param paths) as upsample + TimeSharedConv, computed
+    via phase decomposition on the low-res grid (ops/upconv.py): ~2.25x fewer
+    FLOPs and no 2x-materialized intermediate — this is the decoder's hot
+    path (76% of forward time before fusion).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        kernel, bias = _ConvParams(self.features, c, name="conv")()
+        y = upsample2x_conv3x3(x.reshape(b * t, h, w, c).astype(self.dtype),
+                               kernel.astype(self.dtype),
+                               bias)
+        y = nn.elu(y)
+        return y.reshape(b, t, 2 * h, 2 * w, self.features)
 
 
 class TimeSharedConv(nn.Module):
@@ -154,13 +194,13 @@ class Pyramid3DDecoder(nn.Module):
 
         flow_x = None
         for i, di in enumerate(decode_inds):
-            x = _upsample2x_time(x)
             if self.conv_cnn and i == 0:
+                x = _upsample2x_time(x)
                 x = ConvLSTM2D(decoder_channels[di], dtype=dt,
                                name=f"uplstmconv_{di}_0")(x)
             else:
-                x = TimeSharedConv(decoder_channels[di], dtype=dt,
-                                   name=f"upconv_{di}_0")(x)
+                x = FusedUpConv(decoder_channels[di], dtype=dt,
+                                name=f"upconv_{di}_0")(x)
 
             if self.use_pyramid and res_list is not None and i <= len(ind_list) - 1:
                 res = res_list[ind_list[i]]
@@ -191,12 +231,12 @@ class Pyramid3DDecoder(nn.Module):
         if self.flow_sep_decode:
             f = flow_x
             for j, di in enumerate(decode_inds[-2:]):
-                f = _upsample2x_time(f)
                 if self.sep_conv and j == 0:
+                    f = _upsample2x_time(f)
                     f = ConvLSTM2D(96, dtype=dt, name=f"upconvf_{di}_0")(f)
                 else:
-                    f = TimeSharedConv(decoder_channels[di], dtype=dt,
-                                       name=f"upconvf_{di}_0")(f)
+                    f = FusedUpConv(decoder_channels[di], dtype=dt,
+                                    name=f"upconvf_{di}_0")(f)
             bf, _, hf, wf, cf = f.shape
             fo = nn.Conv(2, (3, 3), padding="SAME", kernel_init=dense_init,
                          dtype=dt, name="outconv_f")(

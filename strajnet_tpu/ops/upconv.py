@@ -1,0 +1,94 @@
+"""Fused nearest-2x-upsample + 3x3 conv, exact and TPU-efficient.
+
+The decoder's hot path is ``UpSampling3D(1,2,2)`` followed by a time-shared
+``Conv2D(3x3, SAME)`` (reference modules.py:649-673). Computing the conv on
+the materialized 2x grid does 9 taps at 4x the pixels (36 tap-equivalents)
+and, at the 256^2 stages, emits 48-channel outputs that pad poorly onto the
+128-lane MXU.
+
+Phase decomposition computes the *identical* function directly on the
+low-res input: for output phase (a, b) in {0,1}^2, every 3x3 tap lands on
+one of 2x2 low-res neighbors, so the 3x3 kernel collapses (by summing
+entries) into four 2x2 kernels — 16 tap-equivalents, 2.25x fewer FLOPs, no
+upsampled intermediate, and the 4 phases stack into one conv with 4*Cout
+output channels (>=128 lanes). A final reshape/transpose interleaves the
+phases back to the 2x grid.
+
+Derivation: out[2y+a, 2x+b] = sum_{dy,dx} W[dy,dx] * up[2y+a+dy, 2x+b+dx]
+with up[p, q] = x[p//2, q//2]; floor((a+dy)/2) maps taps to low-res rows
+{y-1, y, y+1} depending on the phase:
+  a=0: row y-1 <- {dy=-1},  row y <- {dy=0, dy=1}
+  a=1: row y   <- {dy=-1, dy=0},  row y+1 <- {dy=1}
+(and symmetrically for columns), i.e. each phase is a 2x2 conv whose kernel
+entries are sums of W entries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# _ROW_SETS[a][r] = list of 3x3 kernel row indices folded into low-res tap r.
+_ROW_SETS = (
+    ((0,), (1, 2)),   # phase a=0: taps (y-1, y)
+    ((0, 1), (2,)),   # phase a=1: taps (y, y+1)
+)
+
+
+def fold_kernel_2x(w3: jax.Array) -> jax.Array:
+    """[3, 3, Cin, Cout] -> [2, 2, Cin, 4*Cout] phase-folded kernel.
+
+    Output channel block p = 2*a + b holds phase (a, b)'s 2x2 kernel.
+    """
+    cin, cout = w3.shape[2], w3.shape[3]
+    blocks = []
+    for a in (0, 1):
+        for b in (0, 1):
+            k = jnp.zeros((2, 2, cin, cout), w3.dtype)
+            for r, rows in enumerate(_ROW_SETS[a]):
+                for s, cols in enumerate(_ROW_SETS[b]):
+                    acc = sum(w3[dy, dx] for dy in rows for dx in cols)
+                    k = k.at[r, s].set(acc)
+            blocks.append(k)
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
+                       bias: jax.Array | None = None) -> jax.Array:
+    """conv3x3(SAME)(nearest_upsample_2x(x)) without materializing the 2x grid.
+
+    Args:
+      x: [N, H, W, Cin].
+      w3: [3, 3, Cin, Cout] canonical conv kernel (same params as the naive
+        path — checkpoints stay compatible).
+      bias: optional [Cout].
+
+    Returns:
+      [N, 2H, 2W, Cout], numerically identical to the naive computation.
+    """
+    n, h, w, cin = x.shape
+    cout = w3.shape[-1]
+    kf = fold_kernel_2x(w3)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kf, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)  # [N, H+1, W+1, 4*Cout]
+
+    # slice each phase's valid window and interleave to the 2x grid
+    phases = []
+    for a in (0, 1):
+        for b in (0, 1):
+            p = 2 * a + b
+            phases.append(y[:, a:a + h, b:b + w,
+                            p * cout:(p + 1) * cout])
+    # [N, H, W, 2, 2, Cout] -> [N, H, 2, W, 2, Cout] -> [N, 2H, 2W, Cout]
+    stacked = jnp.stack(phases, axis=3).reshape(n, h, w, 2, 2, cout)
+    out = jnp.transpose(stacked, (0, 1, 3, 2, 4, 5)).reshape(
+        n, 2 * h, 2 * w, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
