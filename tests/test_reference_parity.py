@@ -32,50 +32,14 @@ def ref_modules():
     """Imports reference modules.py with stubs for missing packages.
 
     The reference is Keras-2 code ('/' in layer names, positional
-    add_weight name) — route it through the installed tf_keras compat
-    package by aliasing tensorflow.keras for the duration of the module.
+    add_weight name) — routed through the installed tf_keras compat
+    package (see tests/ref_loader.py).
     """
-    tf = pytest.importorskip("tensorflow")
-    tf_keras = pytest.importorskip("tf_keras")
+    pytest.importorskip("tensorflow")
+    pytest.importorskip("tf_keras")
+    from tests.ref_loader import load_reference_module
 
-    sys.modules["tensorflow.keras"] = tf_keras
-    sys.modules["tensorflow.keras.layers"] = tf_keras.layers
-    _orig_keras = tf.keras
-    tf.keras = tf_keras
-
-    class _StubModule(types.ModuleType):
-        def __getattr__(self, item):  # any attribute -> a dummy class
-            return object
-
-    def fake(name, leaf=False):
-        m = _StubModule(name) if leaf else types.ModuleType(name)
-        sys.modules[name] = m
-        return m
-
-    if "tensorflow_addons" not in sys.modules:
-        tfa = fake("tensorflow_addons")
-        tfa.layers = types.SimpleNamespace(MultiHeadAttention=object)
-        tfa.losses = types.SimpleNamespace(SigmoidFocalCrossEntropy=object)
-    if "waymo_open_dataset" not in sys.modules:
-        wod = fake("waymo_open_dataset")
-        protos = fake("waymo_open_dataset.protos")
-        utils = fake("waymo_open_dataset.utils")
-        wod.protos, wod.utils = protos, utils
-        protos.occupancy_flow_metrics_pb2 = fake(
-            "waymo_open_dataset.protos.occupancy_flow_metrics_pb2",
-            leaf=True)
-        utils.occupancy_flow_grids = fake(
-            "waymo_open_dataset.utils.occupancy_flow_grids", leaf=True)
-
-    sys.path.insert(0, REF)
-    try:
-        import modules as ref_modules  # the reference file
-        yield ref_modules
-    finally:
-        sys.path.remove(REF)
-        tf.keras = _orig_keras
-        sys.modules.pop("tensorflow.keras", None)
-        sys.modules.pop("tensorflow.keras.layers", None)
+    return load_reference_module("modules")
 
 
 # NOTE: the reference's large_input path hardcodes the full 512^2/96-dim
