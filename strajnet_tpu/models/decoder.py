@@ -21,6 +21,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from strajnet_tpu.ops.upconv import upsample2x_conv3x3
 
@@ -92,30 +93,60 @@ class TemporalConv(nn.Module):
     """Conv3D with kernel (kt, 1, 1), SAME padding over time, elu.
 
     Equivalent to the reference's pyramid-skip Conv3D (modules.py:709-717)
-    but expressed as an einsum so XLA lowers it to MXU matmuls.
+    but lowered to MXU matmuls:
+
+    - general input [B, T, H, W, C]: the temporal conv over a length-T axis
+      is a dense banded (T_in x T_out) mixing matrix; one einsum with
+      contraction dim T*C reads the input once;
+    - time-constant input [B, 1, H, W, C] (the decoder's rep_res pyramid
+      skips repeat one residual over all T waypoints): the band collapses
+      exactly to per-output-step summed kernels — a single [C, T_out*F]
+      matmul, kt-times fewer FLOPs.
     """
 
     features: int
     kt: int = 8
+    num_steps: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, t, h, w, c = x.shape
+        b, t_in, h, w, c = x.shape
+        t = self.num_steps
         kernel = self.param("kernel", dense_init, (self.kt, c, self.features),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        k = kernel.astype(self.dtype)
-        # SAME padding over the time axis.
         pad_lo = (self.kt - 1) // 2
-        pad_hi = self.kt - 1 - pad_lo
-        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
-        # windows: y[b, t] = sum_dt xp[b, t+dt] @ k[dt]
-        ys = [jnp.einsum("bhwc,cf->bhwf", xp[:, dt:dt + t].reshape(
-            b * t, h, w, c), k[dt]).reshape(b, t, h, w, self.features)
-            for dt in range(self.kt)]
-        y = sum(ys) + bias.astype(self.dtype)
+
+        # band[dt_k, to] = 1 where tap dt_k of output step `to` hits a valid
+        # input step ti = to + dt_k - pad_lo.
+        ti_of = (np.arange(self.kt)[:, None] + np.arange(t)[None, :]
+                 - pad_lo)  # [kt, T_out]
+
+        if t_in == 1:
+            # summed kernel per output step: K_sum[to] = sum_valid k[dt]
+            valid = ((ti_of >= 0) & (ti_of < t)).astype(np.float32)
+            ksum = jnp.einsum("kcf,ko->ocf", kernel, jnp.asarray(valid))
+            y = jnp.einsum("bhwc,ocf->bohwf", x[:, 0].astype(self.dtype),
+                           ksum.astype(self.dtype))
+        else:
+            assert t_in == t, (t_in, t)
+            # dense temporal mixing: W2[ti, to, c, f]
+            w2 = np.zeros((t, t, 1, 1), np.float32)
+            kidx = np.zeros((t, t), np.int32)
+            mask = np.zeros((t, t), np.float32)
+            for dt in range(self.kt):
+                for to in range(t):
+                    ti = to + dt - pad_lo
+                    if 0 <= ti < t:
+                        kidx[ti, to] = dt
+                        mask[ti, to] = 1.0
+            wfull = (kernel[jnp.asarray(kidx)] *
+                     jnp.asarray(mask)[..., None, None])  # [T,T,C,F]
+            y = jnp.einsum("bihwc,iocf->bohwf", x.astype(self.dtype),
+                           wfull.astype(self.dtype))
+        y = y + bias.astype(self.dtype)
         return nn.elu(y)
 
 
@@ -204,22 +235,26 @@ class Pyramid3DDecoder(nn.Module):
 
             if self.use_pyramid and res_list is not None and i <= len(ind_list) - 1:
                 res = res_list[ind_list[i]]
+                hdim = res.shape[-1]
                 if self.rep_res:
-                    res = jnp.repeat(res[:, None].astype(dt), t, axis=1)
+                    # time-constant skip: let TemporalConv use its collapsed
+                    # single-matmul path instead of repeating T times.
+                    res = res.astype(dt).reshape(
+                        -1, 1, reshape_dim[i], reshape_dim[i], hdim)
+                else:
+                    res = res.astype(dt).reshape(
+                        -1, t, reshape_dim[i], reshape_dim[i], hdim)
                 if self.stp_grad:
                     res = jax.lax.stop_gradient(res)
-                hdim = res.shape[-1]
-                res = res.reshape(-1, t, reshape_dim[i], reshape_dim[i], hdim)
-                x = x + TemporalConv(decoder_channels[di], t, dtype=dt,
+                x = x + TemporalConv(decoder_channels[di], t, t, dtype=dt,
                                      name=f"resconv_{di}")(res)
 
             if (self.flow_sep_decode and res_list is not None
                     and i == len(ind_list) - 1):
                 fdim = flow_res.shape[-1]
-                fr = flow_res.reshape(-1, reshape_dim[-1], reshape_dim[-1],
-                                      fdim)
-                fr = jnp.repeat(fr[:, None].astype(dt), t, axis=1)
-                flow_x = x + TemporalConv(128, t, dtype=dt,
+                fr = flow_res.astype(dt).reshape(
+                    -1, 1, reshape_dim[-1], reshape_dim[-1], fdim)
+                flow_x = x + TemporalConv(128, t, t, dtype=dt,
                                           name="resconv_f")(fr)
 
         out_dim = 2 if self.flow_sep_decode else 4

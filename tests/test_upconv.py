@@ -6,7 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from strajnet_tpu.ops.upconv import fold_kernel_2x, upsample2x_conv3x3
+from strajnet_tpu.ops.upconv import (
+    fold_kernel_2x,
+    upsample2x_conv3x3,
+    upsample2x_conv3x3_phases,
+)
 
 
 def _naive(x, w3, bias):
@@ -30,6 +34,9 @@ def test_fused_matches_naive(shape):
     naive = _naive(x, w3, bias)
     assert fused.shape == (n, 2 * h, 2 * w, cout)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               rtol=1e-4, atol=1e-4)
+    phased = upsample2x_conv3x3_phases(x, w3, bias)
+    np.testing.assert_allclose(np.asarray(phased), np.asarray(naive),
                                rtol=1e-4, atol=1e-4)
 
 
