@@ -28,9 +28,13 @@ ITERS = 20
 
 
 def main():
-    from strajnet_tpu.config import STRAJNET_CONFIG as cfg
+    import dataclasses
+
+    from strajnet_tpu.config import STRAJNET_CONFIG
     from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
+    # fused Pallas window attention on the inference path
+    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=True)
     model = STrajNet(cfg=cfg)
     inputs = dummy_inputs(cfg, batch=BATCH, dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), **inputs)

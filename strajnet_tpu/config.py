@@ -154,6 +154,10 @@ class ModelConfig:
     # Precision: compute dtype for the network ("bfloat16" | "float32").
     dtype: str = "bfloat16"
 
+    # Fused Pallas window-attention kernel on the deterministic (inference)
+    # path; training uses the identical-math XLA program.
+    use_pallas_attention: bool = False
+
     @property
     def shallow_decode(self) -> int:
         return 4 - len(self.depths)

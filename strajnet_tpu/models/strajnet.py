@@ -48,7 +48,8 @@ class STrajNet(nn.Module):
             drop_path_rate=cfg.drop_path_rate, ape=cfg.ape,
             patch_norm=cfg.patch_norm, sep_encode=cfg.sep_encode,
             no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
-            large_input=cfg.large_input, dtype=dt,
+            large_input=cfg.large_input,
+            use_pallas=cfg.use_pallas_attention, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)
 
         q = res_list[-1]  # [B, bh*bw, bd]

@@ -92,10 +92,28 @@ class DropPath(nn.Module):
         return x / keep * mask
 
 
+class _DenseParams(nn.Module):
+    """Dense parameters with nn.Dense-compatible naming (kernel/bias)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", dense_init,
+                       (self.in_features, self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
 class WindowAttention(nn.Module):
     """W-MSA within a window with learned relative-position bias.
 
-    Parity target: reference modules.py:66-134.
+    Parity target: reference modules.py:66-134. Parameters are declared
+    directly (same paths as the nn.Dense layout) so the fused Pallas kernel
+    path can consume them too.
     """
 
     dim: int
@@ -107,30 +125,48 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.qkv = _DenseParams(self.dim * 3, self.dim, self.qkv_bias,
+                                name="qkv")
+        self.proj = _DenseParams(self.dim, self.dim, True, name="proj")
+        self.relative_position_bias_table = self.param(
+            "relative_position_bias_table", nn.initializers.zeros,
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
+             self.num_heads), jnp.float32)
+        self._attn_dropout = nn.Dropout(self.attn_drop)
+        self._proj_dropout = nn.Dropout(self.proj_drop)
+
+    def rel_bias(self) -> jax.Array:
+        """[num_heads, n, n] bias expanded from the learned table."""
+        n = self.window_size[0] * self.window_size[1]
+        rpi = relative_position_index(*self.window_size)  # numpy constant
+        rel = self.relative_position_bias_table[rpi.reshape(-1)]
+        return jnp.transpose(rel.reshape(n, n, -1), (2, 0, 1))
+
+    def fused_params(self):
+        """(wqkv, bqkv, wproj, bproj, rel_bias) for the Pallas kernel."""
+        wqkv, bqkv = self.qkv()
+        wproj, bproj = self.proj()
+        if bqkv is None:
+            bqkv = jnp.zeros((3 * self.dim,), jnp.float32)
+        return wqkv, bqkv, wproj, bproj, self.rel_bias()
+
     def __call__(self, x: jax.Array, mask: Optional[np.ndarray] = None,
                  deterministic: bool = True) -> jax.Array:
         b_, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                       kernel_init=dense_init, dtype=self.dtype,
-                       name="qkv")(x)
+        wqkv, bqkv = self.qkv()
+        qkv = x @ wqkv.astype(self.dtype)
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(self.dtype)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
-
-        bias_table = self.param(
-            "relative_position_bias_table", nn.initializers.zeros,
-            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
-             self.num_heads), jnp.float32)
-        rpi = relative_position_index(*self.window_size)  # numpy constant
-        rel_bias = bias_table[rpi.reshape(-1)].reshape(n, n, -1)
-        rel_bias = jnp.transpose(rel_bias, (2, 0, 1)).astype(attn.dtype)
-        attn = attn + rel_bias[None]
+        attn = attn + self.rel_bias().astype(attn.dtype)[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -139,13 +175,13 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(-1, self.num_heads, n, n)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        attn = self._attn_dropout(attn, deterministic=deterministic)
 
         x = jnp.einsum("bhnm,bhmd->bnhd", attn, v.astype(self.dtype))
         x = x.reshape(b_, n, c)
-        x = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
-                     name="proj")(x)
-        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        wproj, bproj = self.proj()
+        x = x @ wproj.astype(self.dtype) + bproj.astype(self.dtype)
+        x = self._proj_dropout(x, deterministic=deterministic)
         return x
 
 
@@ -165,6 +201,7 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -186,19 +223,36 @@ class SwinTransformerBlock(nn.Module):
         if shift_size > 0:
             x = jnp.roll(x, shift=(-shift_size, -shift_size), axis=(1, 2))
 
-        x_windows = window_partition(x, window_size)
-        x_windows = x_windows.reshape(-1, window_size * window_size, c)
-
         mask = (shifted_window_mask(h, w, window_size, shift_size)
                 if shift_size > 0 else None)
-        attn_windows = WindowAttention(
+        attn_mod = WindowAttention(
             dim=self.dim, window_size=(window_size, window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            name="attn")(x_windows, mask, deterministic)
+            name="attn")
 
-        attn_windows = attn_windows.reshape(-1, window_size, window_size, c)
-        x = window_reverse(attn_windows, window_size, h, w, c)
+        # The fused Pallas kernel computes the identical function for the
+        # dropout-free deterministic path (see ops/pallas_window_attention).
+        if (self.use_pallas and deterministic
+                and not self.is_initializing()):
+            from strajnet_tpu.ops.pallas_window_attention import \
+                fused_window_attention
+
+            wqkv, bqkv, wproj, bproj, rel_bias = attn_mod.fused_params()
+            dt = self.dtype
+            x = fused_window_attention(
+                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt),
+                rel_bias.astype(jnp.float32),
+                jnp.asarray(mask) if mask is not None else None,
+                window_size=window_size, num_heads=self.num_heads)
+        else:
+            x_windows = window_partition(x, window_size)
+            x_windows = x_windows.reshape(-1, window_size * window_size, c)
+            attn_windows = attn_mod(x_windows, mask, deterministic)
+            attn_windows = attn_windows.reshape(-1, window_size,
+                                                window_size, c)
+            x = window_reverse(attn_windows, window_size, h, w, c)
 
         if shift_size > 0:
             x = jnp.roll(x, shift=(shift_size, shift_size), axis=(1, 2))
@@ -271,6 +325,7 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
     downsample: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -284,6 +339,7 @@ class BasicLayer(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"blocks{i}")(x, deterministic)
         res = x
         if self.downsample:
@@ -393,6 +449,7 @@ class SwinTransformerEncoder(nn.Module):
     flow_sep: bool = True
     use_flow: bool = True
     large_input: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -415,7 +472,8 @@ class SwinTransformerEncoder(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path=tuple(dpr[sum(self.depths[:i]):
                                     sum(self.depths[:i + 1])]),
-                downsample=downsample, dtype=dt, name=name)
+                downsample=downsample, use_pallas=self.use_pallas,
+                dtype=dt, name=name)
 
         ogm = ogm.astype(dt)
         map_img = map_img.astype(dt)
