@@ -1,0 +1,78 @@
+"""Standalone challenge-metric evaluation over a preprocessed val split.
+
+The reference computes val metrics only inside its training loop
+(train.py:252-282, eager); this CLI evaluates any checkpoint with the fully
+jitted metric path.
+
+Usage:
+    python -m strajnet_tpu.infer.evaluate --file_dir .../preprocessed_data \
+        --weight_path ./ckpt --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+
+from strajnet_tpu.config import (
+    LossConfig,
+    STRAJNET_CONFIG,
+    TrainConfig,
+    WAYMO_TASK_CONFIG,
+)
+from strajnet_tpu.data.pipeline import as_numpy, make_eval_dataset
+from strajnet_tpu.objective.metrics import MetricsAccumulator, print_metrics
+from strajnet_tpu.train.checkpoints import CheckpointManager
+from strajnet_tpu.train.state import create_train_state
+from strajnet_tpu.train.step import make_eval_step
+
+
+def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
+             use_pallas: bool = True, no_warp: bool = False):
+    cfg = dataclasses.replace(STRAJNET_CONFIG,
+                              use_pallas_attention=use_pallas)
+    state = create_train_state(cfg, TrainConfig())
+    if weight_path:
+        ckpt = CheckpointManager(weight_path)
+        restored, step = ckpt.restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {weight_path}")
+        state = restored
+        print(f"loaded checkpoint at step {step}")
+
+    eval_step = make_eval_step(WAYMO_TASK_CONFIG, LossConfig(),
+                               cfg.num_waypoints, no_warp=no_warp)
+    acc = MetricsAccumulator("val", no_warp=no_warp)
+    losses_sum, n = {}, 0
+    for batch in as_numpy(make_eval_dataset(file_pattern, batch_size)):
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        losses, metrics = eval_step(state, jbatch)
+        acc.update_state(metrics)
+        for k, v in losses.items():
+            losses_sum[k] = losses_sum.get(k, 0.0) + float(v)
+        n += 1
+    res = acc.get_result()
+    res.update({f"val_{k}": v / max(n, 1) for k, v in losses_sum.items()})
+    print_metrics(res, "val", no_warp=no_warp)
+    print(json.dumps(res))
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser(description="STrajNet-TPU evaluation")
+    p.add_argument("--file_dir", type=str,
+                   default="./Waymo_Dataset/preprocessed_data")
+    p.add_argument("--weight_path", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--no_pallas", action="store_true")
+    args = p.parse_args()
+    evaluate(f"{args.file_dir}/val/*.tfrecords", args.weight_path,
+             args.batch_size, use_pallas=not args.no_pallas)
+
+
+if __name__ == "__main__":
+    main()

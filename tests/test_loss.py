@@ -128,3 +128,26 @@ def test_split_pred_waypoints_layout():
         np.asarray(grids.observed_occupancy[:, 2, ..., 0]), x[..., 2 * 4])
     np.testing.assert_array_equal(
         np.asarray(grids.flow[:, 1]), x[..., 1 * 4 + 2:1 * 4 + 4])
+
+
+def test_gate_equivalence_with_full_pr_auc():
+    """The cheap any(true_all) gate equals the reference's AUC>0 gate for
+    this input family (preds >= 0): see loss.py gate comment."""
+    from strajnet_tpu.core.sampling import flow_warp_origin
+    from strajnet_tpu.objective.pr_auc import pr_auc
+
+    rng = np.random.RandomState(7)
+    for empty in (False, True):
+        if empty:
+            true_all = np.zeros((2, 16, 16, 1), np.float32)
+        else:
+            true_all = (rng.rand(2, 16, 16, 1) > 0.9).astype(np.float32)
+        origin = (rng.rand(2, 16, 16, 1) > 0.9).astype(np.float32)
+        flow = (rng.randn(2, 16, 16, 2) *
+                (rng.rand(2, 16, 16, 2) > 0.5)).astype(np.float32)
+        wp = flow_warp_origin(jnp.asarray(origin), jnp.asarray(flow))
+        auc = float(pr_auc(jnp.asarray(true_all),
+                           wp * jnp.asarray(true_all)))
+        gate_ref = float(auc > 0.0)
+        gate_cheap = float(jnp.any(jnp.asarray(true_all) != 0))
+        assert gate_ref == gate_cheap, (empty, auc)
