@@ -70,9 +70,14 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
           train_cfg: TrainConfig = TrainConfig(),
           loss_cfg: LossConfig = LossConfig(),
           model_axis: int = 1,
-          log_every: int = 100):
+          log_every: int = 100,
+          profile_dir: Optional[str] = None):
     mesh = create_mesh(model_axis=model_axis)
     print(f"mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}")
+
+    # Profiling hook (SURVEY.md §5 — the reference has none): captures an
+    # xplane trace of steps 10..20 of the first epoch when requested.
+    profile_state = {"started": False, "stopped": profile_dir is None}
 
     state = create_train_state(model_cfg, train_cfg)
     ckpt = CheckpointManager(train_cfg.save_dir)
@@ -109,6 +114,14 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
                 rng, sub = jax.random.split(rng)
                 batch = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                if not profile_state["stopped"]:
+                    if n == 10 and not profile_state["started"]:
+                        jax.profiler.start_trace(profile_dir)
+                        profile_state["started"] = True
+                    elif n == 20 and profile_state["started"]:
+                        jax.profiler.stop_trace()
+                        profile_state["stopped"] = True
+                        print(f"  profiler trace written to {profile_dir}")
                 state, losses = train_step(state, batch, sub)
                 train_losses.update(losses)
                 n += 1
@@ -167,6 +180,8 @@ def main():
     p.add_argument("--no_fg_msa", action="store_true",
                    help="train.py-parity variant without FG-MSA")
     p.add_argument("--model_axis", type=int, default=1)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of steps 10-20 here")
     args = p.parse_args()
 
     model_cfg = STRAJNET_CONFIG
@@ -178,7 +193,7 @@ def main():
                             lr=args.lr, use_schedule=not args.constant_lr,
                             save_dir=args.save_dir, file_dir=args.file_dir)
     train(model_cfg=model_cfg, train_cfg=train_cfg,
-          model_axis=args.model_axis)
+          model_axis=args.model_axis, profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":
