@@ -191,6 +191,29 @@ class ModelConfig:
         return (h * (2 ** ups), w * (2 ** ups))
 
 
+# Standard Swin variant table (reference modules.py:8-15 `CFGS`; unused by
+# STrajNet itself but part of the component inventory).
+SWIN_VARIANTS = {
+    "swin_tiny_224": dict(input_size=(224, 224), window_size=7,
+                          embed_dim=96, depths=(2, 2, 6, 2),
+                          num_heads=(3, 6, 12, 24)),
+    "swin_small_224": dict(input_size=(224, 224), window_size=7,
+                           embed_dim=96, depths=(2, 2, 18, 2),
+                           num_heads=(3, 6, 12, 24)),
+    "swin_base_224": dict(input_size=(224, 224), window_size=7,
+                          embed_dim=128, depths=(2, 2, 18, 2),
+                          num_heads=(4, 8, 16, 32)),
+    "swin_base_384": dict(input_size=(384, 384), window_size=12,
+                          embed_dim=128, depths=(2, 2, 18, 2),
+                          num_heads=(4, 8, 16, 32)),
+    "swin_large_224": dict(input_size=(224, 224), window_size=7,
+                           embed_dim=192, depths=(2, 2, 18, 2),
+                           num_heads=(6, 12, 24, 48)),
+    "swin_large_384": dict(input_size=(384, 384), window_size=12,
+                           embed_dim=192, depths=(2, 2, 18, 2),
+                           num_heads=(6, 12, 24, 48)),
+}
+
 # Tiny configuration for fast tests / multi-chip dry runs.
 TINY_MODEL_CONFIG = ModelConfig(
     input_size=(64, 64),
