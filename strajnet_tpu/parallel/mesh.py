@@ -125,3 +125,23 @@ def shard_batch(batch, mesh: Mesh):
 
 def batch_pspec_tree(batch):
     return jax.tree_util.tree_map(lambda x: P("data"), batch)
+
+
+def shard_batch_multihost(batch, mesh: Mesh):
+    """Multi-host batch placement: each process contributes its local shard.
+
+    Single-host meshes use :func:`shard_batch` (plain device_put). On a
+    multi-host mesh (e.g. a v5e pod slice), every process feeds only its
+    per-host slice of the global batch (cut by
+    ``data/pipeline.py`` ``shard_index/shard_count``) and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    the TPU-native replacement for MirroredStrategy's dataset distribution
+    (reference train.py:295-296).
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        batch)
