@@ -145,6 +145,10 @@ class ModelConfig:
     use_pyramid: bool = True
     flow_sep_decode: bool = True
     conv_cnn: bool = False
+    # ConvLSTM first stage of the separate flow head (reference
+    # modules.py:681-684 ``sep_conv`` — dead in the training config but a
+    # selectable variant).
+    sep_conv: bool = False
     rep_res: bool = True
     stp_grad: bool = False
 
@@ -274,6 +278,12 @@ class LossConfig:
     use_pred: bool = False
     use_focal_loss: bool = False
     use_gt: bool = True
+    # Deviation flag (NOT reference behavior): feed the warp-loss occupancy
+    # multiplier from the *predicted* logits even when ``use_pred=False``.
+    # The reference (loss.py:156-158) uses the TRUE occupancies there, so warp
+    # gradients flow only through pred_flow; enabling this routes warp
+    # gradients into the occupancy heads as well. See PARITY.md.
+    warp_pred_logits: bool = False
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,7 @@ class STrajNet(nn.Module):
         y = Pyramid3DDecoder(
             use_pyramid=cfg.use_pyramid, shallow_decode=cfg.shallow_decode,
             flow_sep_decode=cfg.flow_sep_decode, conv_cnn=cfg.conv_cnn,
+            sep_conv=cfg.sep_conv,
             rep_res=cfg.rep_res, stp_grad=cfg.stp_grad, num_waypoints=t,
             bottleneck_size=(bh, bw), dtype=dt,
             name="decoder")(obs_value, res_list, deterministic)

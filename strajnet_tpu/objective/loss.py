@@ -10,11 +10,15 @@ flags ``use_focal_loss=False, use_pred=False, use_gt=True, no_use_warp=False``
 2. ``flow``: L1 on cells where GT flow is nonzero, normalized by the masked
    count / 2 (loss.py:273-295).
 3. ``flow_warp_xe``: GT flow-origin occupancy warped by the *predicted* flow,
-   multiplied by clip(sig(obs)+sig(occ)); the reference feeds that probability
+   multiplied by clip(sig(a)+sig(b)) where (a, b) are the TRUE binary
+   occupancies at the training default ``use_pred=False`` (loss.py:156-158 —
+   warp gradients flow only through pred_flow) and the predicted logits when
+   ``use_pred=True`` (loss.py:151-154). The reference feeds that probability
    product back through ``sigmoid_cross_entropy_with_logits`` — a
    labels/logits convention mismatch we reproduce for parity (loss.py:231-250,
    §2.8 item 9 of SURVEY.md); ``use_bce_warp=True`` switches to a proper
-   binary cross-entropy.
+   binary cross-entropy, and ``warp_pred_logits=True`` keeps pred logits in
+   the multiplier on the use_pred=False path (both documented deviations).
 
 Per-waypoint gating (``use_gt``): the reference computes a *stateful* Keras
 PR-AUC of the GT-warped origin inside the loss and zeroes flow terms for
@@ -103,31 +107,38 @@ def _sigmoid_focal_xe(labels: jax.Array, logits_or_probs: jax.Array,
         ce = _sigmoid_xe(labels, logits_or_probs)
     else:
         p = logits_or_probs
-        eps = 1e-7
-        pc = jnp.clip(p, eps, 1.0 - eps)
-        ce = -(labels * jnp.log(pc) + (1.0 - labels) * jnp.log(1.0 - pc))
+        ce = _keras_backend_bce(labels, p)
     p_t = labels * p + (1.0 - labels) * (1.0 - p)
     alpha_factor = labels * alpha + (1.0 - labels) * (1.0 - alpha)
     modulating = (1.0 - p_t) ** gamma
     return alpha_factor * modulating * ce
 
 
-def _bce_probs(labels: jax.Array, probs: jax.Array) -> jax.Array:
-    """Keras BinaryCrossentropy(from_logits=False, reduction=NONE):
-    clips probs by 1e-7 and averages over the last axis."""
+def _keras_backend_bce(labels: jax.Array, probs: jax.Array) -> jax.Array:
+    """Elementwise ``tf.keras.backend.binary_crossentropy`` (probabilities):
+    clips probs to [eps, 1-eps] AND adds eps inside each log — both matter
+    numerically when the probability product saturates at 0."""
     eps = 1e-7
     p = jnp.clip(probs, eps, 1.0 - eps)
-    ce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
-    return jnp.mean(ce, axis=-1)
+    return -(labels * jnp.log(p + eps) +
+             (1.0 - labels) * jnp.log(1.0 - p + eps))
+
+
+def _bce_probs(labels: jax.Array, probs: jax.Array) -> jax.Array:
+    """Keras BinaryCrossentropy(from_logits=False, reduction=NONE):
+    backend BCE averaged over the last axis."""
+    return jnp.mean(_keras_backend_bce(labels, probs), axis=-1)
 
 
 def _focal_keras_reduced(labels: jax.Array, x: jax.Array,
                          from_logits: bool) -> jax.Array:
-    """tfa.losses.SigmoidFocalCrossEntropy called as a Keras Loss object:
-    per-sample sum over the last axis, then SUM_OVER_BATCH_SIZE reduction
-    (mean over batch)."""
+    """``tf.reduce_sum(tfa.losses.SigmoidFocalCrossEntropy(...)(y, x))`` as
+    the reference calls it (loss.py:184-188,245): the tfa loss defaults to
+    ``Reduction.NONE`` (per-sample sum over the last axis), and the reference
+    wraps it in a full reduce_sum — so the total is a plain sum over all
+    elements."""
     elem = _sigmoid_focal_xe(labels, x, from_logits)
-    return jnp.mean(jnp.sum(elem, axis=-1))
+    return jnp.sum(elem)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -196,8 +207,19 @@ def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
 
         if not loss_cfg.no_use_warp:
             warped = flow_warp_origin(flow_origin, pred_flow)
+            # Reference loss.py:151-158: the occupancy multiplier
+            # clip(sigmoid(a)+sigmoid(b)) is built from the PREDICTED logits
+            # only on the use_pred=True path; at the training default
+            # (use_pred=False) it uses the TRUE binary occupancies, so the
+            # warp term's gradient flows only through pred_flow (via the
+            # warped origin). ``warp_pred_logits`` is an explicit deviation
+            # flag that keeps pred logits in the multiplier (PARITY.md).
+            if loss_cfg.use_pred or loss_cfg.warp_pred_logits:
+                mult_obs, mult_occ = pred_obs, pred_occ
+            else:
+                mult_obs, mult_occ = true_obs, true_occ
             warp_terms.append(gate * _warp_xe(
-                true_all, pred_obs, pred_occ, warped,
+                true_all, mult_obs, mult_occ, warped,
                 loss_cfg.flow_origin_weight, loss_cfg.use_focal_loss,
                 loss_cfg.use_pred, use_bce_warp, replica))
 
@@ -241,11 +263,14 @@ def _flow_l1(true_flow, pred_flow, weight, replica):
     return weight * mean_diff
 
 
-def _warp_xe(true_all, pred_obs_logit, pred_occ_logit, warped_origin,
+def _warp_xe(true_all, mult_obs, mult_occ, warped_origin,
              weight, use_focal, use_pred, use_bce_warp, replica):
+    """Warp term (loss.py:231-271). ``mult_obs/mult_occ`` are the occupancy
+    grids feeding the clip(sigmoid+sigmoid) multiplier: predicted logits on
+    the use_pred path, TRUE binary occupancies otherwise."""
     labels = _batch_flat(true_all).astype(jnp.float32)
-    sig = _batch_flat(jax.nn.sigmoid(pred_obs_logit.astype(jnp.float32)) +
-                      jax.nn.sigmoid(pred_occ_logit.astype(jnp.float32)))
+    sig = _batch_flat(jax.nn.sigmoid(mult_obs.astype(jnp.float32)) +
+                      jax.nn.sigmoid(mult_occ.astype(jnp.float32)))
     sig = jnp.clip(sig, 0.0, 1.0)
     joint = sig * _batch_flat(warped_origin).astype(jnp.float32)
 

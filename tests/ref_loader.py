@@ -14,8 +14,8 @@ _loaded = {}
 
 
 class _StubModule(types.ModuleType):
-    def __getattr__(self, item):  # any attribute -> a dummy class
-        return object
+    def __getattr__(self, item):  # any attribute -> an instantiable,
+        return types.SimpleNamespace  # attribute-settable dummy class
 
 
 def _fake(name, leaf=False):
@@ -42,11 +42,14 @@ def install_stubs():
         protos = _fake("waymo_open_dataset.protos")
         utils = _fake("waymo_open_dataset.utils")
         wod.protos, wod.utils = protos, utils
-        protos.occupancy_flow_metrics_pb2 = _fake(
-            "waymo_open_dataset.protos.occupancy_flow_metrics_pb2",
-            leaf=True)
-        utils.occupancy_flow_grids = _fake(
-            "waymo_open_dataset.utils.occupancy_flow_grids", leaf=True)
+        for leaf in ("occupancy_flow_metrics_pb2",
+                     "occupancy_flow_submission_pb2", "scenario_pb2"):
+            setattr(protos, leaf,
+                    _fake(f"waymo_open_dataset.protos.{leaf}", leaf=True))
+        for leaf in ("occupancy_flow_grids", "occupancy_flow_data",
+                     "occupancy_flow_renderer", "occupancy_flow_vis"):
+            setattr(utils, leaf,
+                    _fake(f"waymo_open_dataset.utils.{leaf}", leaf=True))
 
 
 def load_reference_module(name):
@@ -67,3 +70,30 @@ def set_tfa_mha(mha_class):
     """Replaces the tfa MultiHeadAttention stub with a real implementation."""
     install_stubs()
     sys.modules["tensorflow_addons"].layers.MultiHeadAttention = mha_class
+
+
+def set_tfa_focal():
+    """Installs a faithful TF implementation of
+    tfa.losses.SigmoidFocalCrossEntropy (public tfa focal_loss.py formula:
+    reduction defaults to NONE, per-sample sum over the last axis)."""
+    install_stubs()
+    import tensorflow as tf
+
+    class SigmoidFocalCrossEntropy:
+        def __init__(self, from_logits=False, alpha=0.25, gamma=2.0):
+            self.from_logits = from_logits
+            self.alpha, self.gamma = alpha, gamma
+
+        def __call__(self, y_true, y_pred):
+            y_true = tf.cast(y_true, tf.float32)
+            y_pred = tf.cast(y_pred, tf.float32)
+            ce = tf.keras.backend.binary_crossentropy(
+                y_true, y_pred, from_logits=self.from_logits)
+            p = tf.sigmoid(y_pred) if self.from_logits else y_pred
+            p_t = y_true * p + (1.0 - y_true) * (1.0 - p)
+            alpha_f = y_true * self.alpha + (1.0 - y_true) * (1 - self.alpha)
+            modulating = tf.pow(1.0 - p_t, self.gamma)
+            return tf.reduce_sum(alpha_f * modulating * ce, axis=-1)
+
+    sys.modules["tensorflow_addons"].losses.SigmoidFocalCrossEntropy = \
+        SigmoidFocalCrossEntropy

@@ -40,6 +40,13 @@ def test_conv_lstm_decoder_variant():
     _build_and_run(cfg)
 
 
+def test_sep_conv_flow_head_variant():
+    """ConvLSTM first stage of the flow head (reference modules.py:681-684),
+    selectable from the top-level config."""
+    cfg = dataclasses.replace(TINY_MODEL_CONFIG, sep_conv=True)
+    _build_and_run(cfg)
+
+
 def test_deform_kv_variant_differs_from_compat():
     cfg_compat = TINY_MODEL_CONFIG
     cfg_deform = dataclasses.replace(TINY_MODEL_CONFIG, deform_kv=True)
