@@ -68,6 +68,64 @@ def _assign_by_order(params, order, ref_weights, skip_names=()):
     return params
 
 
+def fgmsa_order():
+    """Construction order of reference FGMSA weights (FG_MSA.py __init__)."""
+    return [
+        (("conv_offset_0", "kernel"), None),
+        (("conv_offset_0", "bias"), None),
+        (("conv_norm", "LayerNorm_0", "scale"), None),
+        (("conv_norm", "LayerNorm_0", "bias"), None),
+        (("conv_offset_proj", "kernel"), None),
+        (("conv_offset_proj2", "kernel"), None),
+        (("conv_offset_proj2", "bias"), None),
+        (("proj_q", "kernel"), None),
+        (("proj_q", "bias"), None),
+        (("proj_k", "kernel"), None),
+        (("proj_k", "bias"), None),
+        (("proj_v", "kernel"), None),
+        (("proj_v", "bias"), None),
+        (("proj_out", "kernel"), None),
+        (("proj_out", "bias"), None),
+        (("rpe_table",), None),
+    ]
+
+
+def _conv3d_to_temporal(v):  # (8,1,1,Cin,Cout) -> (8,Cin,Cout)
+    return v[:, 0, 0]
+
+
+def decoder_order():
+    """Reference Pyramid3DDecoder weight order at the training config
+    (modules.py __init__): upsample(no w), upconv_0s [3,2,1,0], then flow
+    branch (upsample_f, upconv_f [1,0], res_f, 'outconv_f'), then res_layer
+    [3,2], output_layer."""
+    order = [
+        (("upconv_3_0", "conv", "kernel"), None),
+        (("upconv_3_0", "conv", "bias"), None),
+        (("upconv_2_0", "conv", "kernel"), None),
+        (("upconv_2_0", "conv", "bias"), None),
+        (("upconv_1_0", "conv", "kernel"), None),
+        (("upconv_1_0", "conv", "bias"), None),
+        (("upconv_0_0", "conv", "kernel"), None),
+        (("upconv_0_0", "conv", "bias"), None),
+        (("upconvf_1_0", "conv", "kernel"), None),
+        (("upconvf_1_0", "conv", "bias"), None),
+        (("upconvf_0_0", "conv", "kernel"), None),
+        (("upconvf_0_0", "conv", "bias"), None),
+        (("resconv_f", "kernel"), _conv3d_to_temporal),
+        (("resconv_f", "bias"), None),
+        (("outconv_f", "kernel"), None),
+        (("outconv_f", "bias"), None),
+        (("resconv_3", "kernel"), _conv3d_to_temporal),
+        (("resconv_3", "bias"), None),
+        (("resconv_2", "kernel"), _conv3d_to_temporal),
+        (("resconv_2", "bias"), None),
+        (("outconv", "kernel"), None),
+        (("outconv", "bias"), None),
+    ]
+    return order
+
+
 def test_fgmsa_matches_reference(ref_env):
     tf = pytest.importorskip("tensorflow")
     from tests.ref_loader import load_reference_module
@@ -88,27 +146,8 @@ def test_fgmsa_matches_reference(ref_env):
                  n_head_channels=48, n_groups=8, out_dim=384, in_dim=384,
                  fg=True, dtype=jnp.float32)
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
-
-    # construction order of reference weights (FG_MSA.py __init__):
-    order = [
-        (("conv_offset_0", "kernel"), None),
-        (("conv_offset_0", "bias"), None),
-        (("conv_norm", "LayerNorm_0", "scale"), None),
-        (("conv_norm", "LayerNorm_0", "bias"), None),
-        (("conv_offset_proj", "kernel"), None),
-        (("conv_offset_proj2", "kernel"), None),
-        (("conv_offset_proj2", "bias"), None),
-        (("proj_q", "kernel"), None),
-        (("proj_q", "bias"), None),
-        (("proj_k", "kernel"), None),
-        (("proj_k", "bias"), None),
-        (("proj_v", "kernel"), None),
-        (("proj_v", "bias"), None),
-        (("proj_out", "kernel"), None),
-        (("proj_out", "bias"), None),
-        (("rpe_table",), None),
-    ]
-    params = _assign_by_order(variables["params"], order, ref.weights)
+    params = _assign_by_order(variables["params"], fgmsa_order(),
+                              ref.weights)
 
     y, pos, hidden = ours.apply({"params": params}, jnp.asarray(x))
 
@@ -148,37 +187,8 @@ def test_decoder_matches_reference(ref_env):
     jres = [jnp.asarray(r) for r in res_list]
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jres)
 
-    def conv3d_to_temporal(v):  # (8,1,1,Cin,Cout) -> (8,Cin,Cout)
-        return v[:, 0, 0]
-
-    # reference construction order (modules.py __init__): upsample(no w),
-    # upconv_0s [3,2,1,0], then flow branch (upsample_f, upconv_f [1,0],
-    # res_f, output_layer_f 'outconv'), then res_layer [3,2], output_layer.
-    order = [
-        (("upconv_3_0", "conv", "kernel"), None),
-        (("upconv_3_0", "conv", "bias"), None),
-        (("upconv_2_0", "conv", "kernel"), None),
-        (("upconv_2_0", "conv", "bias"), None),
-        (("upconv_1_0", "conv", "kernel"), None),
-        (("upconv_1_0", "conv", "bias"), None),
-        (("upconv_0_0", "conv", "kernel"), None),
-        (("upconv_0_0", "conv", "bias"), None),
-        (("upconvf_1_0", "conv", "kernel"), None),
-        (("upconvf_1_0", "conv", "bias"), None),
-        (("upconvf_0_0", "conv", "kernel"), None),
-        (("upconvf_0_0", "conv", "bias"), None),
-        (("resconv_f", "kernel"), conv3d_to_temporal),
-        (("resconv_f", "bias"), None),
-        (("outconv_f", "kernel"), None),
-        (("outconv_f", "bias"), None),
-        (("resconv_3", "kernel"), conv3d_to_temporal),
-        (("resconv_3", "bias"), None),
-        (("resconv_2", "kernel"), conv3d_to_temporal),
-        (("resconv_2", "bias"), None),
-        (("outconv", "kernel"), None),
-        (("outconv", "bias"), None),
-    ]
-    params = _assign_by_order(variables["params"], order, ref.weights)
+    params = _assign_by_order(variables["params"], decoder_order(),
+                              ref.weights)
 
     y = ours.apply({"params": params}, jnp.asarray(x), jres)
     y = np.asarray(y)

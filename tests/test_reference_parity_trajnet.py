@@ -105,6 +105,83 @@ def _conv1d_reshape(v):
     return v  # keras Conv1D kernel (1, in, out) == flax
 
 
+def trajnet_order(num_waypoints=8):
+    """Reference TrajNetCrossAttention weight order = sublayer construction
+    order: TrajNet (traj_encoder: Conv1D, MHA, vector_feature, sublayer;
+    cross_attention: mha, norm1, norm2, FFN1, FFN2; obs_norm, occ_norm,
+    seg_embed); then num_waypoints x Cross_AttentionT (mha, norm1, norm2,
+    FFN1, FFN2) stacked into our vmapped cross_attn_obs params."""
+    enc = ("traj_net", "traj_encoder", "enc")
+    ca = ("traj_net", "cross_attention")
+    order = [
+        ((*enc, "node_feature", "kernel"), _conv1d_reshape),
+        ((*enc, "node_feature", "bias"), None),
+        *_mha_order((*enc, "node_attention")),
+        ((*enc, "vector_feature", "kernel"), None),
+        ((*enc, "sublayer", "kernel"), None),
+        ((*enc, "sublayer", "bias"), None),
+        *_mha_order((*ca, "mha")),
+        ((*ca, "norm1", "scale"), None),
+        ((*ca, "norm1", "bias"), None),
+        ((*ca, "norm2", "scale"), None),
+        ((*ca, "norm2", "bias"), None),
+        ((*ca, "FFN1", "kernel"), None),
+        ((*ca, "FFN1", "bias"), None),
+        ((*ca, "FFN2", "kernel"), None),
+        ((*ca, "FFN2", "bias"), None),
+        (("traj_net", "obs_norm", "scale"), None),
+        (("traj_net", "obs_norm", "bias"), None),
+        (("traj_net", "occ_norm", "scale"), None),
+        (("traj_net", "occ_norm", "bias"), None),
+        (("traj_net", "seg_embed", "kernel"), None),
+    ]
+    for i in range(num_waypoints):
+        cao = ("cross_attn_obs",)
+        order += [((*cao, "mha", n), None, i) for n in
+                  ("query_kernel", "key_kernel", "value_kernel",
+                   "projection_kernel", "projection_bias")]
+        order += [((*cao, "norm1", "scale"), None, i),
+                  ((*cao, "norm1", "bias"), None, i),
+                  ((*cao, "norm2", "scale"), None, i),
+                  ((*cao, "norm2", "bias"), None, i),
+                  ((*cao, "FFN1", "kernel"), None, i),
+                  ((*cao, "FFN1", "bias"), None, i),
+                  ((*cao, "FFN2", "kernel"), None, i),
+                  ((*cao, "FFN2", "bias"), None, i)]
+    return order
+
+
+def assign_trajnet_weights(params, ref_weights, num_waypoints=8):
+    """Copies reference TrajNetCrossAttention weights into our param tree
+    (third spec element = waypoint index into the vmap-stacked layer)."""
+    import flax
+    import jax.numpy as jnp
+
+    params = flax.core.unfreeze(params)
+    order = trajnet_order(num_waypoints)
+    weights = list(ref_weights)
+    assert len(weights) == len(order), (len(weights), len(order))
+    for spec, w in zip(order, weights):
+        path = spec[0]
+        reshape = spec[1]
+        idx = spec[2] if len(spec) > 2 else None
+        value = np.asarray(w)
+        if reshape is not None:
+            value = reshape(value)
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        cur = np.asarray(node[path[-1]])
+        if idx is None:
+            assert cur.shape == value.shape, (path, cur.shape, value.shape)
+            node[path[-1]] = jnp.asarray(value)
+        else:
+            assert cur.shape[1:] == value.shape, (path, cur.shape,
+                                                  value.shape)
+            node[path[-1]] = jnp.asarray(cur).at[idx].set(value)
+    return params
+
+
 @pytest.mark.slow
 def test_trajnet_cross_attention_matches_reference(ref_trajnet):
     tf = pytest.importorskip("tensorflow")
@@ -136,71 +213,7 @@ def test_trajnet_cross_attention_matches_reference(ref_trajnet):
                           jnp.asarray(obs), jnp.asarray(occ),
                           jnp.asarray(mapt))
 
-    # reference weight order = sublayer construction order:
-    # TrajNet: traj_encoder(Conv1D, MHA, vector_feature, sublayer),
-    #          cross_attention(mha, norm1, norm2, FFN1, FFN2),
-    #          obs_norm, occ_norm, seg_embed;
-    # then 8x Cross_AttentionT(mha, norm1, norm2, FFN1, FFN2).
-    enc = ("traj_net", "traj_encoder", "enc")
-    ca = ("traj_net", "cross_attention")
-    order = [
-        ((*enc, "node_feature", "kernel"), _conv1d_reshape),
-        ((*enc, "node_feature", "bias"), None),
-        *_mha_order((*enc, "node_attention")),
-        ((*enc, "vector_feature", "kernel"), None),
-        ((*enc, "sublayer", "kernel"), None),
-        ((*enc, "sublayer", "bias"), None),
-        *_mha_order((*ca, "mha")),
-        ((*ca, "norm1", "scale"), None),
-        ((*ca, "norm1", "bias"), None),
-        ((*ca, "norm2", "scale"), None),
-        ((*ca, "norm2", "bias"), None),
-        ((*ca, "FFN1", "kernel"), None),
-        ((*ca, "FFN1", "bias"), None),
-        ((*ca, "FFN2", "kernel"), None),
-        ((*ca, "FFN2", "bias"), None),
-        (("traj_net", "obs_norm", "scale"), None),
-        (("traj_net", "obs_norm", "bias"), None),
-        (("traj_net", "occ_norm", "scale"), None),
-        (("traj_net", "occ_norm", "bias"), None),
-        (("traj_net", "seg_embed", "kernel"), None),
-    ]
-    for i in range(8):
-        cao = ("cross_attn_obs",)
-        order += [
-            *[((*cao, n), (lambda v, i=i: v), i) for n in ()],
-        ]
-        order += [((*cao, "mha", n), None, i) for n in
-                  ("query_kernel", "key_kernel", "value_kernel",
-                   "projection_kernel", "projection_bias")]
-        order += [((*cao, "norm1", "scale"), None, i),
-                  ((*cao, "norm1", "bias"), None, i),
-                  ((*cao, "norm2", "scale"), None, i),
-                  ((*cao, "norm2", "bias"), None, i),
-                  ((*cao, "FFN1", "kernel"), None, i),
-                  ((*cao, "FFN1", "bias"), None, i),
-                  ((*cao, "FFN2", "kernel"), None, i),
-                  ((*cao, "FFN2", "bias"), None, i)]
-
-    import flax
-    params = flax.core.unfreeze(variables["params"])
-    weights = list(ref.weights)
-    assert len(weights) == len(order), (len(weights), len(order))
-    for spec, w in zip(order, weights):
-        path = spec[0]
-        idx = spec[2] if len(spec) > 2 else None
-        value = np.asarray(w)
-        node = params
-        for p in path[:-1]:
-            node = node[p]
-        cur = np.asarray(node[path[-1]])
-        if idx is None:
-            assert cur.shape == value.shape, (path, cur.shape, value.shape)
-            node[path[-1]] = jnp.asarray(value)
-        else:
-            assert cur.shape[1:] == value.shape, (path, cur.shape,
-                                                  value.shape)
-            node[path[-1]] = jnp.asarray(cur).at[idx].set(value)
+    params = assign_trajnet_weights(variables["params"], ref.weights)
 
     out = ours.apply({"params": params}, jnp.asarray(pic), jnp.asarray(obs),
                      jnp.asarray(occ), jnp.asarray(mapt))
