@@ -133,7 +133,28 @@ def to_grid(points_x, points_y, config: TaskConfig):
 
 def _observation_mask(inputs: Dict[str, jnp.ndarray], include_observed: bool,
                       include_occluded: bool):
-    """[A, 1] agent filter. 'Observed' = valid at any history step."""
+    """[A, 1] agent filter. 'Observed' = valid at ANY history step
+    (past or current); 'occluded' = its complement.
+
+    Derivation (the waymo package is not importable here, so the rule is
+    pinned by two independent sources):
+
+    1. The challenge definition: occluded vehicles are those that appear in
+       the future but are *never seen in any of the 10 past + 1 current
+       input frames* (Waymo Occupancy Flow Challenge task description;
+       also the framing in the STrajNet paper, arXiv 2208.00394 §III).
+       "Valid at any history step" is exactly its complement.
+    2. The public ``occupancy_flow_renderer._sample_and_filter_agent_points``
+       (imported verbatim by the reference, grid_utils.py:1) computes
+       ``agent_is_observed = reduce_max(_stack_field(inputs,
+       ['past', 'current'], 'valid'), axis=-1)`` and filters
+       observed/occluded renders by it / its negation.
+
+    The plausible alternative — "valid at the *current* step only" — would
+    move agents that dropped out of view mid-history into the occluded
+    channel; tests/test_preprocess.py::test_observed_rule_sensitivity
+    quantifies the metric impact of that choice and pins ours.
+    """
     if include_observed and include_occluded:
         return None
     hist_valid = stack_history(inputs, ["past", "current"], "valid")

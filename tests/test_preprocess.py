@@ -166,6 +166,66 @@ def test_waypoint_grids_shapes_and_consistency():
     assert inter / max(obs.sum(), 1) > 0.5
 
 
+def test_observed_rule_sensitivity():
+    """Pins the observed/occluded split to 'valid at ANY history step'
+    (the challenge definition + public renderer rule — see
+    raster._observation_mask) and quantifies what the plausible alternative
+    ('valid at the CURRENT step only') would do to the occluded channel.
+
+    Agent 2 is made valid in the early past but invalid at the current step
+    while existing in the future: under the correct rule it is OBSERVED
+    (seen in an input frame); under the alternative it would be occluded.
+    """
+    import jax.numpy as jnp
+
+    from strajnet_tpu.objective.pr_auc import pr_auc
+
+    s = fake_scenario(n_agents=3)
+    # agent 2: drop out of view from past step 5 onward (incl. current)
+    s["state/past/valid"] = s["state/past/valid"].copy()
+    s["state/current/valid"] = s["state/current/valid"].copy()
+    s["state/past/valid"][2, 5:] = 0
+    s["state/current/valid"][2, :] = 0
+
+    occl = raster.render_occupancy(s, ["future"], CFG,
+                                   include_observed=False,
+                                   include_occluded=True)
+    obs = raster.render_occupancy(s, ["future"], CFG,
+                                  include_observed=True,
+                                  include_occluded=False)
+    occl_grid = np.asarray(occl[TYPE_VEHICLE])
+    obs_grid = np.asarray(obs[TYPE_VEHICLE])
+
+    # ours: agent 2 was seen in an input frame -> observed, NOT occluded
+    assert occl_grid.sum() == 0.0
+    assert obs_grid.sum() > 0
+
+    # the alternative rule: current-step validity only
+    cur_valid = s["state/current/valid"][:, 0] > 0
+    alt_mask = np.logical_not(cur_valid)[:, None]
+
+    # replicate the renderer with the alternative filter by zeroing the
+    # current-valid agents' future validity
+    s_alt = dict(s)
+    s_alt["state/future/valid"] = (s["state/future/valid"] *
+                                   alt_mask.astype(np.int64))
+    occl_alt = np.asarray(raster.render_occupancy(
+        s_alt, ["future"], CFG)[TYPE_VEHICLE])
+    assert occl_alt.sum() > 0  # agent 2's future lands in occluded there
+
+    # metric sensitivity: the two rules give entirely DISJOINT occluded
+    # channels for this scene, so leaderboard metric #3 (occluded AUC)
+    # depends wholly on this choice. A model trained on our GT scored
+    # against the alternative GT collapses to the base rate (the PR-AUC of
+    # an all-negative prediction under Keras's first-threshold convention).
+    assert (occl_alt * occl_grid).sum() == 0.0  # zero overlap
+    base_rate = occl_alt.mean()
+    auc_alt_vs_ours = float(pr_auc(jnp.asarray(occl_alt[..., None]),
+                                   jnp.asarray(occl_grid[..., None])))
+    assert auc_alt_vs_ours == pytest.approx(base_rate, rel=1e-3)
+    assert auc_alt_vs_ours < 0.05  # vs 1.0 for matching rules
+
+
 def test_rotate_and_select_actors():
     s = fake_scenario(n_agents=3)
     rot = rotate_all_from_inputs(s, CFG)
