@@ -231,10 +231,14 @@ class SwinTransformerBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             name="attn")
 
-        # The fused Pallas kernel computes the identical function for the
-        # dropout-free deterministic path (see ops/pallas_window_attention).
-        if (self.use_pallas and deterministic
-                and not self.is_initializing()):
+        # The fused Pallas kernel computes the identical function whenever
+        # the in-attention dropouts are inactive: always at inference, and in
+        # training when attn_drop == proj drop == 0 (the reference training
+        # config). It carries a custom_vjp (Pallas backward kernel) so the
+        # training step uses the fused program too.
+        if (self.use_pallas and not self.is_initializing()
+                and (deterministic
+                     or (self.attn_drop == 0.0 and self.drop == 0.0))):
             from strajnet_tpu.ops.pallas_window_attention import \
                 fused_window_attention
 

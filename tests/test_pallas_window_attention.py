@@ -61,3 +61,92 @@ def test_fused_window_attention_matches_xla(shape, shift):
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_model_pallas_path_matches_xla_forward_and_grad():
+    """Full tiny STrajNet with use_pallas_attention on vs off: identical
+    forward outputs and parameter gradients (the training path now runs the
+    fused kernel via its custom_vjp; CPU auto-interprets the kernel)."""
+    import dataclasses
+
+    from strajnet_tpu.config import TINY_MODEL_CONFIG
+    from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+
+    cfg_x = dataclasses.replace(TINY_MODEL_CONFIG, drop_path_rate=0.0)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas_attention=True)
+    mx, mp = STrajNet(cfg=cfg_x), STrajNet(cfg=cfg_p)
+    inputs = dummy_inputs(cfg_x, batch=1)
+    rng = np.random.RandomState(0)
+    inputs["ogm"] = jnp.asarray(
+        (rng.rand(*inputs["ogm"].shape) > 0.7).astype(np.float32))
+    inputs["flow"] = jnp.asarray(
+        rng.randn(*inputs["flow"].shape).astype(np.float32))
+    params = mx.init(jax.random.PRNGKey(0), **inputs)
+
+    ox = mx.apply(params, **inputs)
+    op = mp.apply(params, **inputs)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(jnp.square(m.apply(
+                p, **inputs, training=True,
+                rngs={"dropout": jax.random.PRNGKey(1)})))
+        return f
+
+    kx = jax.grad(loss(mx))(params)
+    kp = jax.grad(loss(mp))(params)
+    leaves_x = jax.tree_util.tree_leaves_with_path(kx)
+    kp_flat = dict(jax.tree_util.tree_leaves_with_path(kp))
+    # Leaves whose true gradient is cancellation noise (e.g. K-projection
+    # bias: softmax is near-invariant to uniform logit shifts) can differ
+    # 100% relatively while being ~1e-10 of the gradient field — compare
+    # against a global noise floor.
+    global_max = max(float(jnp.abs(l).max())
+                     for l in jax.tree_util.tree_leaves(kx))
+    floor = 1e-6 * global_max
+    checked = 0
+    for path, gx in leaves_x:
+        gp = np.asarray(kp_flat[path])
+        gx = np.asarray(gx)
+        scale = max(np.abs(gx).max(), floor)
+        assert np.abs(gp - gx).max() <= 5e-3 * scale, (
+            path, np.abs(gp - gx).max(), scale)
+        checked += 1
+    assert checked > 50
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_window_attention_backward_matches_xla(shift):
+    """custom_vjp (Pallas backward kernel, interpret mode) vs jax autodiff of
+    the XLA reference program — all 6 gradient groups."""
+    b, h, w, c, ws, heads = 2, 16, 16, 8, 4, 2
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)
+    wqkv = jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    rel_bias = jnp.asarray(
+        rng.randn(heads, ws * ws, ws * ws).astype(np.float32) * 0.3)
+    mask = (jnp.asarray(shifted_window_mask(h, w, ws, shift))
+            if shift > 0 else None)
+    cot = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    def loss_ref(args):
+        y = _xla_reference(*args, mask, ws, heads)
+        return jnp.sum(y * cot)
+
+    def loss_fused(args):
+        y = fused_window_attention(*args, mask, window_size=ws,
+                                   num_heads=heads, interpret=True)
+        return jnp.sum(y * cot)
+
+    args = (x, wqkv, bqkv, wproj, bproj, rel_bias)
+    g_ref = jax.grad(loss_ref)(args)
+    g_fused = jax.grad(loss_fused)(args)
+    names = ("x", "wqkv", "bqkv", "wproj", "bproj", "rel_bias")
+    for name, a, b_ in zip(names, g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
