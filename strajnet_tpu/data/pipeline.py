@@ -73,3 +73,44 @@ def as_numpy(dataset) -> Iterator[dict]:
     for batch in dataset:
         yield {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
                for k, v in batch.items()}
+
+
+def prefetch_to_mesh(iterator: Iterator[dict], mesh, size: int = 2,
+                     multihost: bool = False) -> Iterator[dict]:
+    """Overlaps host->device transfer with device compute.
+
+    Pulls batches from ``iterator`` on a background thread and places them on
+    the mesh (``shard_batch`` / ``shard_batch_multihost``) ``size`` batches
+    ahead of the consumer, so the H2D copy of batch N+1 rides under the
+    compute of batch N instead of serializing with it (the prefetch the
+    reference gets for free from ``strategy.experimental_distribute_dataset``,
+    train.py:295-296).
+    """
+    import queue
+    import threading
+
+    from strajnet_tpu.parallel.mesh import shard_batch, shard_batch_multihost
+
+    place = shard_batch_multihost if multihost else shard_batch
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _end = object()
+    err = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(place(batch, mesh))
+        except Exception as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(_end)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _end:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -83,12 +83,15 @@ def main():
 
     state = create_train_state(STRAJNET_CONFIG, TrainConfig())
     if args.weight_path:
+        # params-only restore: inference never needs optimizer state, and
+        # this stays compatible across optimizer changes.
         ckpt = CheckpointManager(args.weight_path)
-        restored, step = ckpt.restore(state)
-        if restored is None:
+        params, step = ckpt.restore_params()
+        if params is None:
             raise FileNotFoundError(
                 f"no checkpoint found under {args.weight_path}")
-        state = restored
+        state = state.replace(params=jax.tree_util.tree_map(
+            jnp.asarray, params))
         print(f"loaded checkpoint at step {step}")
 
     predict_step = make_predict_step(STRAJNET_CONFIG.num_waypoints)

@@ -9,8 +9,15 @@ Improvements over the reference entry point (which crashes as checked in —
 SURVEY.md §2.8-1 — and trains eagerly on the val path):
 
 - single jit'd train/eval program incl. challenge metrics;
-- mesh data parallelism via shardings instead of MirroredStrategy;
-- Orbax checkpoints with optimizer state + auto-resume;
+- mesh data parallelism via shardings instead of MirroredStrategy, with
+  multi-host feeding (per-process dataset shards assembled into global
+  arrays by ``shard_batch_multihost``);
+- loss means accumulate on device inside the train step — no per-step host
+  sync; fetched only every ``log_every`` steps / at epoch end;
+- background-thread prefetch overlaps H2D transfer with device compute;
+- Orbax checkpoints with optimizer state + auto-resume, including the epoch
+  counter (persisted in a metrics sidecar) so a restored run continues
+  mid-schedule instead of replaying from epoch 0;
 - per-epoch CSV log (same ``train_log.csv`` convention, train.py:341-356).
 """
 
@@ -38,25 +45,34 @@ from strajnet_tpu.data.pipeline import (
     as_numpy,
     make_eval_dataset,
     make_train_dataset,
+    prefetch_to_mesh,
 )
 from strajnet_tpu.objective.metrics import MetricsAccumulator, print_metrics
-from strajnet_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+from strajnet_tpu.parallel.mesh import create_mesh, shard_params
 from strajnet_tpu.train.checkpoints import CheckpointManager
 from strajnet_tpu.train.state import create_train_state
-from strajnet_tpu.train.step import make_eval_step, make_train_step
+from strajnet_tpu.train.step import (
+    make_eval_step,
+    make_train_step,
+    zero_loss_sums,
+)
 
 
 class LossMeans:
-    """Running means of the loss dict (reference train.py:159-170)."""
+    """Running means of the loss dict (reference train.py:159-170).
+
+    Values passed to :meth:`update` may be device scalars; the host float
+    conversion happens only in :meth:`result` — callers decide when to sync.
+    """
 
     def __init__(self):
         self.sums: Dict[str, float] = {}
         self.count = 0
 
-    def update(self, losses: Dict[str, jax.Array]):
+    def update(self, losses: Dict[str, jax.Array], n: int = 1):
         for k, v in losses.items():
             self.sums[k] = self.sums.get(k, 0.0) + float(v)
-        self.count += 1
+        self.count += n
 
     def result(self) -> Dict[str, float]:
         return {k: s / max(self.count, 1) for k, s in self.sums.items()}
@@ -73,7 +89,16 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
           log_every: int = 100,
           profile_dir: Optional[str] = None):
     mesh = create_mesh(model_axis=model_axis)
-    print(f"mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}")
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    is_main = proc == 0
+    print(f"mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}, "
+          f"process {proc}/{n_proc}")
+
+    if train_cfg.batch_size % n_proc != 0:
+        raise ValueError(f"global batch {train_cfg.batch_size} not divisible "
+                         f"by process count {n_proc}")
+    local_bs = train_cfg.batch_size // n_proc
 
     # Profiling hook (SURVEY.md §5 — the reference has none): captures an
     # xplane trace of steps 10..20 of the first epoch when requested.
@@ -82,38 +107,38 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
     state = create_train_state(model_cfg, train_cfg)
     ckpt = CheckpointManager(train_cfg.save_dir)
     restored, step0 = ckpt.restore(state)
+    start_epoch = 0
     if restored is not None:
         state = restored
-        print(f"resumed from step {step0}")
+        start_epoch = int(ckpt.metadata(step0).get("epoch", 0))
+        print(f"resumed from step {step0} (epoch {start_epoch})")
 
-    train_step = make_train_step(task_cfg, loss_cfg, model_cfg.num_waypoints)
+    train_step = make_train_step(task_cfg, loss_cfg, model_cfg.num_waypoints,
+                                 accumulate=True)
     eval_step = make_eval_step(task_cfg, loss_cfg, model_cfg.num_waypoints)
 
     with mesh:
         state = state.replace(params=shard_params(state.params, mesh))
 
         rng = jax.random.PRNGKey(train_cfg.seed)
-        train_losses = LossMeans()
         val_losses = LossMeans()
         val_metrics = MetricsAccumulator("val")
-
-        steps_per_epoch: Optional[int] = None
-        start_epoch = int(state.step) // steps_per_epoch if steps_per_epoch \
-            else 0
 
         log_path = os.path.join(train_cfg.save_dir, "train_log.csv")
         for epoch in range(start_epoch, train_cfg.epochs):
             print(f"\nepoch {epoch + 1}/{train_cfg.epochs}")
             ds = make_train_dataset(
                 f"{train_cfg.file_dir}/train/*.tfrecords",
-                train_cfg.batch_size, train_cfg.shuffle_buffer,
+                local_bs, train_cfg.shuffle_buffer,
+                shard_index=proc, shard_count=n_proc,
                 seed=train_cfg.seed + epoch)
             t0 = time.perf_counter()
             n = 0
-            for batch in as_numpy(ds):
+            loss_sums = zero_loss_sums()
+            sums_at_log = {}
+            for batch in prefetch_to_mesh(as_numpy(ds), mesh,
+                                          multihost=n_proc > 1):
                 rng, sub = jax.random.split(rng)
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
                 if not profile_state["stopped"]:
                     if n == 10 and not profile_state["started"]:
                         jax.profiler.start_trace(profile_dir)
@@ -122,23 +147,26 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
                         jax.profiler.stop_trace()
                         profile_state["stopped"] = True
                         print(f"  profiler trace written to {profile_dir}")
-                state, losses = train_step(state, batch, sub)
-                train_losses.update(losses)
+                state, loss_sums = train_step(state, batch, sub, loss_sums)
                 n += 1
                 if n % log_every == 0:
-                    r = train_losses.result()
+                    # the only host<->device sync in the loop
+                    sums_at_log = {k: float(v) for k, v in loss_sums.items()}
                     rate = n * train_cfg.batch_size / (
                         time.perf_counter() - t0)
-                    print(f"  step {n}: total={r.get('total', 0):.4f} "
-                          f"obs={r.get('observed_xe', 0):.4f} "
+                    print(f"  step {n}: "
+                          f"total={sums_at_log['total'] / n:.4f} "
+                          f"obs={sums_at_log['observed_xe'] / n:.4f} "
                           f"({rate:.1f} scenes/s)")
 
+            train_means = ({k: float(v) / max(n, 1)
+                            for k, v in loss_sums.items()} if n else {})
+
             vds = make_eval_dataset(
-                f"{train_cfg.file_dir}/val/*.tfrecords",
-                train_cfg.batch_size)
-            for batch in as_numpy(vds):
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                f"{train_cfg.file_dir}/val/*.tfrecords", local_bs,
+                shard_index=proc, shard_count=n_proc)
+            for batch in prefetch_to_mesh(as_numpy(vds), mesh,
+                                          multihost=n_proc > 1):
                 losses, metrics = eval_step(state, batch)
                 val_losses.update(losses)
                 val_metrics.update_state(metrics)
@@ -147,19 +175,21 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
             print_metrics(res, "val")
 
             log = {"epoch": epoch + 1,
-                   "loss": train_losses.result().get("total", 0.0),
+                   "loss": train_means.get("total", 0.0),
                    "val_loss": val_losses.result().get("total", 0.0)}
             log.update(res)
-            write_header = not os.path.exists(log_path)
-            with open(log_path, "a", newline="") as f:
-                w = csv.writer(f)
-                if write_header:
-                    w.writerow(log.keys())
-                w.writerow(log.values())
+            if is_main:
+                write_header = not os.path.exists(log_path)
+                with open(log_path, "a", newline="") as f:
+                    w = csv.writer(f)
+                    if write_header:
+                        w.writerow(log.keys())
+                    w.writerow(log.values())
 
             ckpt.save(int(state.step), state,
-                      metrics={"val_loss": log["val_loss"]})
-            train_losses.reset()
+                      metrics={"val_loss": log["val_loss"],
+                               "epoch": epoch + 1,
+                               "steps_per_epoch": n})
             val_losses.reset()
             val_metrics.reset_states()
 

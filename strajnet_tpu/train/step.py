@@ -41,12 +41,30 @@ def _forward(state, params, batch, training, rng=None):
     return state.apply_fn({"params": params}, **kwargs)
 
 
+LOSS_KEYS = ("observed_xe", "occluded_xe", "flow", "flow_warp_xe", "total")
+
+
+def zero_loss_sums() -> Dict[str, jax.Array]:
+    """Initial device-resident loss accumulator for the accumulating step."""
+    return {k: jnp.zeros((), jnp.float32) for k in LOSS_KEYS}
+
+
 def make_train_step(task_cfg: TaskConfig, loss_cfg: LossConfig,
                     num_waypoints: int = 8,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    accumulate: bool = False) -> Callable:
+    """Jitted train step.
+
+    With ``accumulate=False`` (default): ``step(state, batch, rng) ->
+    (state, loss_dict)``. With ``accumulate=True``: ``step(state, batch,
+    rng, loss_sums) -> (state, loss_sums + losses)`` — the running loss sums
+    stay on device inside the one jitted program per step, so the training
+    loop never forces a host sync to track losses (the reference's
+    ``tf.keras.metrics.Mean`` equivalent without the per-step ``.numpy()``).
+    """
     loss_fn = OGMFlowLoss(task_cfg, loss_cfg)
 
-    def train_step(state, batch: Dict[str, jax.Array], rng: jax.Array):
+    def _step_math(state, batch, rng):
         true_waypoints = true_waypoints_from_batch(batch)
 
         def compute_loss(params):
@@ -60,8 +78,19 @@ def make_train_step(task_cfg: TaskConfig, loss_cfg: LossConfig,
         (total, loss_dict), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
-        loss_dict = dict(loss_dict, total=total)
-        return new_state, loss_dict
+        return new_state, dict(loss_dict, total=total)
+
+    if accumulate:
+        def train_step(state, batch, rng, loss_sums):
+            new_state, loss_dict = _step_math(state, batch, rng)
+            new_sums = {k: loss_sums[k] + loss_dict[k] for k in loss_sums}
+            return new_state, new_sums
+
+        return jax.jit(train_step,
+                       donate_argnums=(0, 3) if donate else ())
+
+    def train_step(state, batch: Dict[str, jax.Array], rng: jax.Array):
+        return _step_math(state, batch, rng)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

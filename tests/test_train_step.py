@@ -76,6 +76,40 @@ def test_eval_step_losses_and_metrics(state):
     assert np.isfinite(float(losses["total"]))
 
 
+def test_accumulating_step_matches_per_step_losses(state, train_step):
+    """accumulate=True returns running on-device loss sums identical to
+    summing the per-step loss dicts (the no-host-sync training-loop path)."""
+    from strajnet_tpu.data.pipeline import prefetch_to_mesh
+    from strajnet_tpu.train.step import zero_loss_sums
+
+    astep = make_train_step(TASK, LossConfig(), CFG.num_waypoints,
+                            donate=False, accumulate=True)
+    batches = [_jnp_batch(2, seed=s) for s in (0, 1)]
+
+    s1, sums = state, zero_loss_sums()
+    rng = jax.random.PRNGKey(5)
+    expected = {k: 0.0 for k in sums}
+    s2 = state
+    for i, b in enumerate(batches):
+        sub = jax.random.fold_in(rng, i)
+        s1, sums = astep(s1, b, sub, sums)
+        s2, losses = train_step(s2, b, sub)
+        for k in expected:
+            expected[k] += float(losses[k])
+    for k in expected:
+        assert float(sums[k]) == pytest.approx(expected[k], rel=1e-5), k
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        s1.params, s2.params)
+    assert max(jax.tree.leaves(diff)) == 0.0
+
+    # prefetch_to_mesh delivers the same batches, mesh-placed
+    mesh = create_mesh(8, model_axis=4)  # data axis 2 matches batch 2
+    got = list(prefetch_to_mesh(iter(batches), mesh))
+    assert len(got) == 2
+    np.testing.assert_array_equal(np.asarray(got[1]["ogm"]),
+                                  np.asarray(batches[1]["ogm"]))
+
+
 def test_multi_device_mesh_step(state, train_step):
     """DP x TP mixed sharding on the 8-device CPU mesh; loss matches the
     single-device program."""
