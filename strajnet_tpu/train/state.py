@@ -1,9 +1,12 @@
 """Train state + optimizer.
 
 Optimizer parity: Keras Nadam(lr) with defaults beta_1=0.9, beta_2=0.999,
-epsilon=1e-7 (reference train.py:197). The reference constructs an SGDR
-cosine-restarts schedule but never wires it (train.py:185-186); here
-``TrainConfig.use_schedule`` wires it by default.
+epsilon=1e-7 (reference train.py:197) — implemented EXACTLY (incl. the
+legacy-Keras momentum-cache schedule) by
+:func:`strajnet_tpu.train.optim.keras_nadam`, golden-tested against
+``tf_keras.optimizers.legacy.Nadam`` in tests/test_optim.py. The reference
+constructs an SGDR cosine-restarts schedule but never wires it
+(train.py:185-186); here ``TrainConfig.use_schedule`` wires it by default.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from flax.training import train_state
 from strajnet_tpu.config import ModelConfig, TrainConfig
 from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 from strajnet_tpu.objective.schedule import cosine_decay_restarts
+from strajnet_tpu.train.optim import keras_nadam
 
 
 class TrainState(train_state.TrainState):
@@ -33,7 +37,7 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
             alpha=train_cfg.alpha)
     else:
         lr = train_cfg.lr
-    tx = optax.nadam(lr, b1=0.9, b2=0.999, eps=1e-7)
+    tx = keras_nadam(lr, b1=0.9, b2=0.999, eps=1e-7)
     if train_cfg.grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm),
                          tx)
