@@ -1,13 +1,17 @@
-"""Benchmark: STrajNet inference throughput on the flagship 512^2 config.
+"""Benchmark: STrajNet inference + training throughput on the flagship
+512^2 config. Prints ONE JSON line whose primary metric is
+``inference_scenes_per_sec``; extra keys report training throughput and MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline context (BASELINE.md): the reference publishes no throughput
-numbers; the driver's north-star is >=4x A100 scenes/sec/chip on TPU v5e at
-256^2 x 8-waypoint inference. We report scenes/sec on this chip;
-``vs_baseline`` is measured against an A100-class estimate for the reference
-TF model (see BASELINE.json metadata) of ~25 scenes/sec — recorded here as
-the comparison constant until a measured reference number exists.
+Baseline derivation (auditable — see BASELINE.md "Throughput baseline"):
+the reference publishes no throughput numbers, so the comparison constant is
+derived from a same-host measurement: the actual reference TF2 graph runs at
+0.113 scenes/s on this host's 1-core CPU (tools/bench_reference_cpu.py),
+which is ~63% of the host's measured 0.04 TFLOP/s matmul capability. Scaling
+that efficiency linearly to a measured-class A100 matmul throughput of
+100 TFLOP/s gives a deliberately GENEROUS upper bound of ~293 scenes/s for
+the reference on one A100 (at a typical 15% GPU MFU it would be ~67).
+``vs_baseline`` divides by the generous bound — i.e. it understates the true
+speedup.
 """
 
 from __future__ import annotations
@@ -18,23 +22,23 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Estimated reference throughput (scenes/sec on one A100, TF2 graph mode) —
-# no published number exists; see BASELINE.md.
-A100_REFERENCE_SCENES_PER_SEC = 25.0
+# Upper-bound estimate for the reference on one A100, derived from the
+# measured CPU anchor (tools/bench_reference_cpu.py + BASELINE.md).
+A100_REFERENCE_SCENES_PER_SEC = 293.0
+
+# bf16 peak of one TPU v5e chip (197 TFLOP/s) for the MFU figure.
+V5E_PEAK_FLOPS = 197e12
 
 BATCH = 16
+TRAIN_BATCH = 8
 WARMUP = 3
 ITERS = 20
+TRAIN_ITERS = 10
 
 
-def main():
-    import dataclasses
-
-    from strajnet_tpu.config import STRAJNET_CONFIG
+def bench_inference(cfg):
     from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
-    # fused Pallas window attention on the inference path
-    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=True)
     model = STrajNet(cfg=cfg)
     inputs = dummy_inputs(cfg, batch=BATCH, dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), **inputs)
@@ -57,20 +61,76 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    # compile + warmup
-    float(forward_n(params, inputs, WARMUP))
+    # per-scene FLOPs from the compiled program (for the MFU figure)
+    try:
+        cost = forward.lower(params, inputs).compile().cost_analysis()
+        flops_per_batch = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_batch = 0.0
+
+    float(forward_n(params, inputs, WARMUP))  # compile + sync warmup
 
     t0 = time.perf_counter()
-    s = float(forward_n(params, inputs, ITERS))
+    float(forward_n(params, inputs, ITERS))
     dt = time.perf_counter() - t0
-
     scenes_per_sec = BATCH * ITERS / dt
+    mfu = (flops_per_batch * ITERS / dt) / V5E_PEAK_FLOPS \
+        if flops_per_batch else None
+    return scenes_per_sec, mfu
+
+
+def bench_training(cfg):
+    from strajnet_tpu.config import LossConfig, TaskConfig, TrainConfig
+    from strajnet_tpu.data.synthetic import synthetic_batch
+    from strajnet_tpu.train.state import create_train_state
+    from strajnet_tpu.train.step import make_train_step, zero_loss_sums
+
+    task = TaskConfig(grid_height_cells=cfg.output_size[0],
+                      grid_width_cells=cfg.output_size[1],
+                      num_waypoints=cfg.num_waypoints)
+    state = create_train_state(cfg, TrainConfig(use_schedule=True))
+    step = make_train_step(task, LossConfig(), cfg.num_waypoints,
+                           donate=True, accumulate=True)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, TRAIN_BATCH, seed=0).items()}
+    rng = jax.random.PRNGKey(0)
+
+    # The single-step program is large (fused-attention fwd+bwd kernels);
+    # wrapping it in a fori_loop exceeds the remote-compile payload limit of
+    # the axon tunnel. Time sequential async dispatches instead: enqueueing
+    # overlaps device compute (the step is state-carried so iterations
+    # serialize on device), with one scalar fetch as the sync point.
+    st, sm = step(state, batch, rng, zero_loss_sums())
+    float(sm["total"])  # compile + sync warmup
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        st, sm = step(st, batch, rng, sm)
+    float(sm["total"])
+    dt = time.perf_counter() - t0
+    return TRAIN_BATCH * TRAIN_ITERS / dt, dt / TRAIN_ITERS * 1e3
+
+
+def main():
+    import dataclasses
+
+    from strajnet_tpu.config import STRAJNET_CONFIG
+
+    # fused Pallas window attention on both paths (custom_vjp for training)
+    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=True)
+
+    scenes_per_sec, mfu = bench_inference(cfg)
+    train_sps, train_ms = bench_training(cfg)
+
     print(json.dumps({
         "metric": "inference_scenes_per_sec",
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/s/chip",
         "vs_baseline": round(scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC,
                              3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "train_scenes_per_sec": round(train_sps, 2),
+        "train_ms_per_step_b8": round(train_ms, 1),
     }))
 
 
