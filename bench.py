@@ -17,10 +17,19 @@ speedup.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache (works through the axon tunnel): the
+# flagship fwd / fwd+bwd programs take minutes to compile cold; cached they
+# load in seconds, keeping bench wall-clock dominated by the measurement.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Upper-bound estimate for the reference on one A100, derived from the
 # measured CPU anchor (tools/bench_reference_cpu.py + BASELINE.md).
