@@ -158,9 +158,10 @@ class ModelConfig:
     # Precision: compute dtype for the network ("bfloat16" | "float32").
     dtype: str = "bfloat16"
 
-    # Fused Pallas window-attention kernel on the deterministic (inference)
-    # path; training uses the identical-math XLA program.
-    use_pallas_attention: bool = False
+    # Fused Pallas window-attention kernel (identical math; custom-VJP
+    # backward kernel on the training path). None = auto: on for TPU
+    # backends, off elsewhere (the CPU fallback would run interpreted).
+    use_pallas_attention: Optional[bool] = None
 
     @property
     def shallow_decode(self) -> int:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from strajnet_tpu.core.sampling import PixelType, sample, sample_small_table
 from strajnet_tpu.models.swin import LayerNorm, gelu_tanh
+from strajnet_tpu.ops.rpe_window import rpe_window_bias
 
 Dtype = Any
 dense_init = nn.initializers.glorot_uniform()
@@ -163,16 +164,31 @@ class FGMSA(nn.Module):
             rpe = jnp.transpose(rpe, (0, 3, 1, 2, 4)).reshape(
                 b * self.n_groups, 2 * h - 1, 2 * w - 1, n_group_heads)
 
-            q_grid = _ref_points(h, w, dt)
-            q_grid = jnp.broadcast_to(q_grid.reshape(1, h * w, 2),
-                                      (b * self.n_groups, h * w, 2))
-            disp = (q_grid[:, :, None, :] -
-                    pos.reshape(b * self.n_groups, n_sample, 2)[:, None])
-            disp = jnp.stack([disp[..., 1], disp[..., 0]], axis=-1)
-
-            attn_bias = sample_small_table(rpe.astype(jnp.float32),
-                                           disp.astype(jnp.float32),
-                                           PixelType.INTEGER).astype(dt)
+            posk = pos.reshape(b * self.n_groups, n_sample, 2)
+            if not self.use_last_ref and (self.no_off
+                                          or self.offset_range_factor > 0):
+                # Queries form the integer grid and offsets are statically
+                # bounded (tanh * range, or zero): the per-pair bilinear
+                # sample collapses to a per-key blended window of the table
+                # (ops/rpe_window.py) — ~3x fewer FLOPs and ~10x less HBM
+                # traffic than the dense one-hot contraction.
+                bound = 0.0 if self.no_off else max(hk, wk) / 2.0
+                attn_bias = rpe_window_bias(
+                    rpe, posk.astype(jnp.float32), (h, w),
+                    bound=bound).astype(dt)
+            else:
+                # general fallback (data-dependent reference positions):
+                # dense one-hot contraction in the compute dtype — bf16
+                # halves its HBM-bound intermediates; f32 runs (CPU golden
+                # parity) keep the f32 einsums bit-for-bit.
+                q_grid = _ref_points(h, w, dt)
+                q_grid = jnp.broadcast_to(q_grid.reshape(1, h * w, 2),
+                                          (b * self.n_groups, h * w, 2))
+                disp = q_grid[:, :, None, :] - posk[:, None]
+                disp = jnp.stack([disp[..., 1], disp[..., 0]], axis=-1)
+                attn_bias = sample_small_table(rpe.astype(dt),
+                                               disp.astype(jnp.float32),
+                                               PixelType.INTEGER).astype(dt)
             attn_bias = attn_bias.reshape(b * self.n_groups, h * w, n_sample,
                                           n_group_heads)
             attn_bias = jnp.transpose(attn_bias, (0, 3, 1, 2)).reshape(

@@ -38,6 +38,12 @@ class STrajNet(nn.Module):
         bh, bw = cfg.bottleneck_size
         bd = cfg.bottleneck_dim
 
+        # None = auto: fused Pallas window attention whenever we're actually
+        # compiling for a TPU (the CPU fallback would run interpreted).
+        use_pallas = cfg.use_pallas_attention
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
         res_list = SwinTransformerEncoder(
             img_size=cfg.input_size,
             patch_size=(cfg.patch_size, cfg.patch_size),
@@ -49,7 +55,7 @@ class STrajNet(nn.Module):
             patch_norm=cfg.patch_norm, sep_encode=cfg.sep_encode,
             no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
             large_input=cfg.large_input,
-            use_pallas=cfg.use_pallas_attention, dtype=dt,
+            use_pallas=use_pallas, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)
 
         q = res_list[-1]  # [B, bh*bw, bd]

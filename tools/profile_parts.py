@@ -7,8 +7,18 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
+import dataclasses
 import jax, jax.numpy as jnp
-from strajnet_tpu.config import STRAJNET_CONFIG as cfg
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from strajnet_tpu.config import STRAJNET_CONFIG
+
+# Profile the bench configuration: fused Pallas window attention on.
+cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=True)
 from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 from strajnet_tpu.models.swin import SwinTransformerEncoder
 from strajnet_tpu.models.trajnet import TrajNetCrossAttention
@@ -59,7 +69,7 @@ total = device_time("full", lambda p, kw: model.apply(p, **kw), params,
 enc = SwinTransformerEncoder(
     img_size=cfg.input_size, embed_dim=cfg.embed_dim, depths=cfg.depths,
     num_heads=cfg.num_heads, window_size=cfg.window_size, large_input=True,
-    dtype=dt)
+    use_pallas=cfg.use_pallas_attention, dtype=dt)
 ep = {"params": params["params"]["encoder"]}
 device_time("encoder",
             lambda p, kw: enc.apply(p, kw["ogm"], kw["map_img"], kw["flow"]),
