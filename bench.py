@@ -39,7 +39,9 @@ A100_REFERENCE_SCENES_PER_SEC = 293.0
 V5E_PEAK_FLOPS = 197e12
 
 BATCH = 16
-TRAIN_BATCH = 8
+# Reference's checked-in training default (train.py:51); measured better
+# per-scene than batch 8 on the v5e (73 vs 63 scenes/s).
+TRAIN_BATCH = 16
 WARMUP = 3
 ITERS = 20
 TRAIN_ITERS = 10
@@ -139,7 +141,8 @@ def main():
                              3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "train_scenes_per_sec": round(train_sps, 2),
-        "train_ms_per_step_b8": round(train_ms, 1),
+        "train_batch": TRAIN_BATCH,
+        "train_ms_per_step": round(train_ms, 1),
     }))
 
 

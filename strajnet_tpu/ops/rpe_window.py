@@ -58,8 +58,9 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float
     # padded table: TP[v] = T[v - p] zero-extended
     # static padding (math.ceil: jnp ops on python constants still trace
     # to abstract values under jit)
-    ph = th // 2 + 1 + math.ceil(bound) + 2
-    pw = tw // 2 + 1 + math.ceil(bound) + 2
+    cb = math.ceil(bound)
+    ph = th // 2 + 1 + cb + 2
+    pw = tw // 2 + 1 + cb + 2
     tp = jnp.pad(table.astype(jnp.float32),
                  ((0, 0), (ph, ph), (pw, pw), (0, 0)))
 
@@ -75,16 +76,29 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float
     rowstart = fy.astype(jnp.int32) - 1 + ph           # [S, K]
     colstart = fx.astype(jnp.int32) - 1 + pw
 
-    hp2 = th + 2 * ph
-    wp2 = tw + 2 * pw
-    iv = jnp.arange(hp2, dtype=jnp.int32)
-    rsel = (rowstart[:, :, None, None] + jnp.arange(h + 1, dtype=jnp.int32)[
-        None, None, :, None] == iv).astype(jnp.float32)   # [S,K,h+1,V]
-    rows = jnp.einsum("skrv,svwg->skrwg", rsel, tp)
-    iw = jnp.arange(wp2, dtype=jnp.int32)
-    csel = (colstart[:, :, None, None] + jnp.arange(w + 1, dtype=jnp.int32)[
-        None, None, :, None] == iw).astype(jnp.float32)   # [S,K,w+1,W]
-    win = jnp.einsum("skcw,skrwg->skrcg", csel, rows)     # [S,K,h+1,w+1,G]
+    # Enumerate every reachable window start (the offset bound makes the
+    # candidate set small and static), materialize all sliding windows
+    # once per slice, and pick per key with ONE one-hot contraction whose
+    # batch is only S — per-(S,K) batched micro-matmuls (a naive row/col
+    # one-hot pair) dispatch 30k+ tiny MXU ops and measure slower than the
+    # dense formulation.
+    rbase = (1 - h - cb) - 1 + ph
+    cbase = (1 - w - cb) - 1 + pw
+    nr = h + 2 * cb + 1
+    nc = w + 2 * cb + 1
+    rows_z = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(tp, rbase + z, h + 1, axis=1)
+         for z in range(nr)], axis=1)                  # [S, nr, h+1, Wp, G]
+    win_z = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(rows_z, cbase + z, w + 1, axis=3)
+         for z in range(nc)], axis=2)                  # [S,nr,nc,h+1,w+1,G]
+    win_flat = win_z.reshape(s, nr * nc, (h + 1) * (w + 1) * g)
+
+    zidx = (rowstart - rbase) * nc + (colstart - cbase)     # [S, K]
+    zsel = (zidx[:, :, None] ==
+            jnp.arange(nr * nc, dtype=jnp.int32)).astype(jnp.float32)
+    win = jnp.einsum("skz,szp->skp", zsel, win_flat).reshape(
+        s, k, h + 1, w + 1, g)
 
     ayb = ay[:, :, None, None, None]
     axb = ax[:, :, None, None, None]

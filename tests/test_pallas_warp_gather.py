@@ -67,6 +67,25 @@ def test_image_gradient_matches(data):
                                rtol=0, atol=1e-4)
 
 
+def test_under_sharded_jit(data):
+    """Under a data-sharded mesh jit the kernel stays correct (XLA treats
+    the pallas call as an opaque region and re-gathers its operands) — the
+    multi-chip training step hits exactly this structure."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    origin, _, warp = data
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    s = NamedSharding(mesh, P("data"))
+    origin_s = jax.device_put(origin, s)
+    warp_s = jax.device_put(warp, s)
+
+    out = jax.jit(lambda o, w: sample_dense(o, w, interpret=True))(
+        origin_s, warp_s)
+    ref = sample(origin, warp, pixel_type=PixelType.INTEGER)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
 def test_supports_gate(data):
     origin, _, warp = data
     # CPU test mesh: the fast path must decline so flow_warp_origin keeps
