@@ -46,16 +46,25 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
 
 
 class LayerNorm(nn.Module):
-    """float32 LayerNorm with configurable epsilon (Keras default 1e-3)."""
+    """LayerNorm with configurable epsilon (Keras default 1e-3).
+
+    f32 runs keep full-f32 IO (golden-parity path). bf16 runs keep the
+    statistics in f32 (flax upcasts internally) but stream activations at
+    bf16 — LN is pure HBM traffic at the 128^2-token stages, and the f32
+    round-trip doubled it.
+    """
 
     epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        if self.dtype == jnp.float32:
+            y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                             param_dtype=jnp.float32)(x.astype(jnp.float32))
+            return y.astype(self.dtype)
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype,
+                            param_dtype=jnp.float32)(x.astype(self.dtype))
 
 
 class Mlp(nn.Module):
@@ -90,6 +99,43 @@ class DropPath(nn.Module):
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
         return x / keep * mask
+
+
+class _LNShellInner(nn.Module):
+    """nn.LayerNorm's parameters (same names/init) without computing."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+class _LNShell(nn.Module):
+    """Declares exactly LayerNorm's param tree (norm*/LayerNorm_0/...)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNShellInner(self.features, name="LayerNorm_0")()
+
+
+class _MlpShell(nn.Module):
+    """Declares exactly Mlp's param tree (mlp/fc1, mlp/fc2)."""
+
+    hidden: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.hidden, self.features, name="fc1")()
+        w2, b2 = _DenseParams(self.features, self.hidden, name="fc2")()
+        return w1, b1, w2, b2
 
 
 class _DenseParams(nn.Module):
@@ -216,13 +262,6 @@ class SwinTransformerBlock(nn.Module):
         b, l, c = x.shape
         assert l == h * w, f"wrong token count {l} != {h}x{w}"
 
-        shortcut = x
-        x = LayerNorm(1e-5, self.dtype, name="norm1")(x)
-        x = x.reshape(-1, h, w, c)
-
-        if shift_size > 0:
-            x = jnp.roll(x, shift=(-shift_size, -shift_size), axis=(1, 2))
-
         mask = (shifted_window_mask(h, w, window_size, shift_size)
                 if shift_size > 0 else None)
         attn_mod = WindowAttention(
@@ -231,32 +270,63 @@ class SwinTransformerBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             name="attn")
 
-        # The fused Pallas kernel computes the identical function whenever
-        # the in-attention dropouts are inactive: always at inference, and in
-        # training when attn_drop == proj drop == 0 (the reference training
-        # config). It carries a custom_vjp (Pallas backward kernel) so the
-        # training step uses the fused program too.
+        # The fused Pallas kernel computes the entire block (LN -> W-MSA ->
+        # +res -> LN -> MLP -> +res) VMEM-resident whenever the in-block
+        # dropouts are inactive: always at inference, and in training when
+        # attn_drop == drop == 0 (the reference training config; stochastic
+        # depth is handled by per-sample keep masks passed to the kernel).
+        # At the 128^2-token stages the per-op XLA lowering is HBM-bound —
+        # every LN/residual/MLP boundary streams a ~50 MB activation.
         if (self.use_pallas and not self.is_initializing()
                 and (deterministic
                      or (self.attn_drop == 0.0 and self.drop == 0.0))):
-            from strajnet_tpu.ops.pallas_window_attention import \
-                fused_window_attention
+            from strajnet_tpu.ops.pallas_swin_block import fused_swin_block
 
-            wqkv, bqkv, wproj, bproj, rel_bias = attn_mod.fused_params()
             dt = self.dtype
-            x = fused_window_attention(
-                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
-                wproj.astype(dt), bproj.astype(dt),
-                rel_bias.astype(jnp.float32),
-                jnp.asarray(mask) if mask is not None else None,
-                window_size=window_size, num_heads=self.num_heads)
-        else:
-            x_windows = window_partition(x, window_size)
-            x_windows = x_windows.reshape(-1, window_size * window_size, c)
-            attn_windows = attn_mod(x_windows, mask, deterministic)
-            attn_windows = attn_windows.reshape(-1, window_size,
-                                                window_size, c)
-            x = window_reverse(attn_windows, window_size, h, w, c)
+            wqkv, bqkv, wproj, bproj, rel_bias = attn_mod.fused_params()
+            ln1s, ln1b = _LNShell(c, name="norm1")()
+            ln2s, ln2b = _LNShell(c, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, b1_, w2, b2_ = _MlpShell(hidden, self.dim, name="mlp")()
+
+            xb = x.reshape(-1, h, w, c).astype(dt)
+            if shift_size > 0:
+                # the roll commutes with every per-token op in the block
+                xb = jnp.roll(xb, shift=(-shift_size, -shift_size),
+                              axis=(1, 2))
+            dpm = None
+            if self.drop_path > 0.0 and not deterministic:
+                keep = 1.0 - self.drop_path
+                draws = []
+                for _ in range(2):
+                    rng = self.make_rng("dropout")
+                    draws.append(jnp.floor(
+                        keep + jax.random.uniform(rng, (xb.shape[0],))) / keep)
+                dpm = jnp.stack(draws, axis=1)
+            y = fused_swin_block(
+                xb, wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
+                bproj.astype(dt), rel_bias.astype(jnp.float32),
+                ln1s, ln1b, ln2s, ln2b, w1.astype(dt), b1_, w2.astype(dt),
+                b2_, jnp.asarray(mask) if mask is not None else None,
+                dpm, window_size=window_size, num_heads=self.num_heads,
+                eps=1e-5)
+            if shift_size > 0:
+                y = jnp.roll(y, shift=(shift_size, shift_size), axis=(1, 2))
+            return y.reshape(-1, h * w, c)
+
+        shortcut = x
+        x = LayerNorm(1e-5, self.dtype, name="norm1")(x)
+        x = x.reshape(-1, h, w, c)
+
+        if shift_size > 0:
+            x = jnp.roll(x, shift=(-shift_size, -shift_size), axis=(1, 2))
+
+        x_windows = window_partition(x, window_size)
+        x_windows = x_windows.reshape(-1, window_size * window_size, c)
+        attn_windows = attn_mod(x_windows, mask, deterministic)
+        attn_windows = attn_windows.reshape(-1, window_size,
+                                            window_size, c)
+        x = window_reverse(attn_windows, window_size, h, w, c)
 
         if shift_size > 0:
             x = jnp.roll(x, shift=(shift_size, shift_size), axis=(1, 2))

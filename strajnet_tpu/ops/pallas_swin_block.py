@@ -1,0 +1,450 @@
+"""Pallas TPU kernel: fully fused Swin transformer block (fwd + bwd).
+
+The per-op XLA lowering of a Swin block at the 128^2-token stages is
+HBM-bound: every LayerNorm / residual / MLP boundary streams a ~50 MB
+activation, and fwd+bwd of ONE stage-0 block measures 17.7 ms at batch 16
+(one LayerNorm alone: 2.9 ms) while its FLOPs justify ~3 ms. This kernel
+computes the whole block per row strip of windows with every intermediate
+VMEM-resident:
+
+    r1  = x + dp1 * proj(attention(LN1(x)))      (dense-strip masked MHA)
+    out = r1 + dp2 * MLP(LN2(r1))
+
+- attention uses the dense block-diagonal formulation of
+  ops/pallas_window_attention.py (cross-window logits get -1e9, softmax
+  weights underflow to exact zeros: bit-identical to per-window softmax);
+- LN statistics in f32, activations stream bf16 (matching models/swin.py's
+  bf16 LayerNorm);
+- dp1/dp2 are per-sample DropPath keep-scaled masks (1.0 when inactive) —
+  one scalar per strip, so stochastic depth fuses too;
+- the backward kernel recomputes the forward in VMEM and emits dx plus all
+  parameter gradients through revisited accumulator blocks (bf16 matmul
+  operands / f32 accumulate, like the attention backward).
+
+The cyclic roll of shifted windows stays outside: LayerNorm, residuals and
+the MLP are per-token, so the whole block commutes with the roll.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from strajnet_tpu.ops.pallas_window_attention import (_heads_qkv, _maskbig,
+                                                      _offdiag_neg, _relbig,
+                                                      _row_major,
+                                                      _window_major)
+
+_SQRT2PI = 0.7978845608028654  # sqrt(2/pi)
+_GC = 0.044715
+
+
+def _ln_f32(x, scale, bias, eps):
+    """f32 LayerNorm; returns (y_f32, xhat, inv)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    return (xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32),
+            xhat, inv)
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """LayerNorm input grad for f32 upstream grad + (dscale, dbias) sums."""
+    dxhat = dy * scale.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    return (dx, jnp.sum(dy * xhat, axis=0, keepdims=True),
+            jnp.sum(dy, axis=0, keepdims=True))
+
+
+def _gelu_tanh(z):
+    t = jnp.tanh(_SQRT2PI * (z + _GC * z * z * z))
+    return 0.5 * z * (1.0 + t)
+
+
+def _gelu_tanh_grad(z):
+    u = _SQRT2PI * (z + _GC * z * z * z)
+    t = jnp.tanh(u)
+    du = _SQRT2PI * (1.0 + 3.0 * _GC * z * z)
+    return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * du
+
+
+def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
+                mask_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, w1_ref,
+                b1_ref, w2_ref, b2_ref, dp_ref, out_ref, *, window_size,
+                num_heads, head_dim, use_mask, eps):
+    ws = window_size
+    c = x_ref.shape[-1]
+    w_full = x_ref.shape[2]
+    n_win = w_full // ws
+    n = ws * ws
+    nt = n_win * n
+    scale = head_dim ** -0.5
+    dt = x_ref.dtype
+
+    xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
+    dp1 = dp_ref[0, 0]
+    dp2 = dp_ref[0, 1]
+
+    h1, _, _ = _ln_f32(xw, ln1s_ref[0], ln1b_ref[0], eps)
+    h1b = h1.astype(dt)
+    qkv = jnp.dot(h1b, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dt)
+
+    neg = _offdiag_neg(nt, n)
+    outs = []
+    for h in range(num_heads):
+        q, k, v = _heads_qkv(qkv, c, head_dim, h)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + relbig_ref[h].astype(jnp.float32) + neg
+        if use_mask:
+            s = s + mask_ref[0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(dt), v,
+                            preferred_element_type=jnp.float32))
+    merged = jnp.concatenate(outs, axis=-1).astype(dt)
+    att = jnp.dot(merged, wproj_ref[:], preferred_element_type=jnp.float32)
+    att = att + bproj_ref[:].astype(jnp.float32)
+
+    r1 = (xw.astype(jnp.float32) + dp1 * att).astype(dt)
+
+    h2, _, _ = _ln_f32(r1, ln2s_ref[0], ln2b_ref[0], eps)
+    h2b = h2.astype(dt)
+    z1 = jnp.dot(h2b, w1_ref[:], preferred_element_type=jnp.float32)
+    z1 = z1 + b1_ref[:].astype(jnp.float32)
+    g1 = _gelu_tanh(z1).astype(dt)
+    z2 = jnp.dot(g1, w2_ref[:], preferred_element_type=jnp.float32)
+    z2 = z2 + b2_ref[:].astype(jnp.float32)
+
+    out = (r1.astype(jnp.float32) + dp2 * z2).astype(dt)
+    out_ref[0] = _row_major(out, ws, n_win, c)
+
+
+def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
+                mask_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, w1_ref,
+                b1_ref, w2_ref, b2_ref, dp_ref, dy_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                dbias_ref, dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref,
+                dw1_ref, db1_ref, dw2_ref, db2_ref, *, window_size,
+                num_heads, head_dim, use_mask, eps):
+    ws = window_size
+    c = x_ref.shape[-1]
+    w_full = x_ref.shape[2]
+    n_win = w_full // ws
+    n = ws * ws
+    nt = n_win * n
+    scale = head_dim ** -0.5
+    dt = x_ref.dtype
+    bf = jnp.bfloat16
+
+    is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(is_first)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref,
+                    dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref, dw1_ref,
+                    db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    xw = _window_major(x_ref[0], ws, n_win, c)
+    dyw = _window_major(dy_ref[0], ws, n_win, c).astype(jnp.float32)
+    dp1 = dp_ref[0, 0]
+    dp2 = dp_ref[0, 1]
+
+    # ---- forward recompute ----
+    h1, xhat1, inv1 = _ln_f32(xw, ln1s_ref[0], ln1b_ref[0], eps)
+    h1b = h1.astype(dt)
+    qkv = jnp.dot(h1b, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dt)
+
+    neg = _offdiag_neg(nt, n)
+    head_ps = []
+    outs = []
+    for h in range(num_heads):
+        q, k, v = _heads_qkv(qkv, c, head_dim, h)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + relbig_ref[h].astype(jnp.float32) + neg
+        if use_mask:
+            s = s + mask_ref[0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        head_ps.append(p.astype(bf))
+        outs.append(jnp.dot(p.astype(dt), v,
+                            preferred_element_type=jnp.float32))
+    merged = jnp.concatenate(outs, axis=-1).astype(dt)
+    att = jnp.dot(merged, wproj_ref[:], preferred_element_type=jnp.float32)
+    att = att + bproj_ref[:].astype(jnp.float32)
+    r1 = (xw.astype(jnp.float32) + dp1 * att).astype(dt)
+
+    h2, xhat2, inv2 = _ln_f32(r1, ln2s_ref[0], ln2b_ref[0], eps)
+    h2b = h2.astype(dt)
+    z1 = jnp.dot(h2b, w1_ref[:], preferred_element_type=jnp.float32)
+    z1 = z1 + b1_ref[:].astype(jnp.float32)
+    g1 = _gelu_tanh(z1).astype(dt)
+
+    # ---- backward ----
+    # out = r1 + dp2 * (g1 @ w2 + b2)
+    dz2 = dp2 * dyw                                       # [N, C] f32
+    dz2b = dz2.astype(bf)
+    dw2_ref[...] += jax.lax.dot_general(
+        g1.astype(bf), dz2b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dz2, axis=0, keepdims=True)
+    dg1 = jax.lax.dot_general(dz2b, w2_ref[:].astype(bf),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dz1 = dg1 * _gelu_tanh_grad(z1)
+    dz1b = dz1.astype(bf)
+    dw1_ref[...] += jax.lax.dot_general(
+        h2b.astype(bf), dz1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dz1, axis=0, keepdims=True)
+    dh2 = jax.lax.dot_general(dz1b, w1_ref[:].astype(bf),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dr1_ln, dls2, dlb2 = _ln_bwd(dh2, xhat2, inv2, ln2s_ref[0])
+    dln2s_ref[...] += dls2
+    dln2b_ref[...] += dlb2
+    dr1 = dyw + dr1_ln                                    # [N, C] f32
+
+    # r1 = xw + dp1 * att(LN1(xw))
+    datt = dp1 * dr1
+    dattb = datt.astype(bf)
+    dwproj_ref[...] += jax.lax.dot_general(
+        merged.astype(bf), dattb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(datt, axis=0, keepdims=True)
+    dmerged = jax.lax.dot_general(dattb, wproj_ref[:].astype(bf),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(num_heads):
+        pb = head_ps[h]
+        p = pb.astype(jnp.float32)
+        q, k, v = _heads_qkv(qkv, c, head_dim, h)
+        do = dmerged[:, h * head_dim:(h + 1) * head_dim].astype(bf)
+        dp = jax.lax.dot_general(do, v.astype(bf), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        acc = jnp.zeros((n, n), jnp.float32)
+        for w in range(n_win):
+            acc = acc + ds[w * n:(w + 1) * n, w * n:(w + 1) * n]
+        dbias_ref[h] += acc
+        dsb = ds.astype(bf)
+        dq = jnp.dot(dsb, k.astype(bf),
+                     preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dsb, q.astype(bf), (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_parts.append(dq.astype(bf))
+        dk_parts.append(dk.astype(bf))
+        dv_parts.append(dv.astype(bf))
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+
+    dwqkv_ref[...] += jax.lax.dot_general(
+        h1b.astype(bf), dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                              keepdims=True)
+    dh1 = jax.lax.dot_general(dqkv, wqkv_ref[:].astype(bf),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dxw_ln, dls1, dlb1 = _ln_bwd(dh1, xhat1, inv1, ln1s_ref[0])
+    dln1s_ref[...] += dls1
+    dln1b_ref[...] += dlb1
+
+    dxw = dr1 + dxw_ln
+    dx_ref[0] = _row_major(dxw, ws, n_win, c).astype(dx_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
+                   eps: float, interpret: bool):
+    ws = window_size
+
+    def specs(b, h, w, c, n_win_w, n):
+        xspec = pl.BlockSpec((1, ws, w, c), lambda g, bi: (bi, g, 0, 0),
+                             memory_space=pltpu.VMEM)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        if use_mask:
+            mspec = pl.BlockSpec((1, n_win_w * n, n_win_w * n),
+                                 lambda g, bi: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        else:
+            mspec = pl.BlockSpec((1, 1), lambda g, bi: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        dpspec = pl.BlockSpec((1, 2), lambda g, bi: (bi, 0),
+                              memory_space=pltpu.SMEM)
+        # x, wqkv, bqkv, wproj, bproj, relbig, mask, ln1s, ln1b, ln2s,
+        # ln2b, w1, b1, w2, b2, dp
+        ins = [xspec, full, full, full, full, full, mspec,
+               full, full, full, full, full, full, full, full, dpspec]
+        return xspec, ins
+
+    def fwd_call(x, args, mask_in, dp):
+        b, h, w, c = x.shape
+        head_dim = c // num_heads
+        n = ws * ws
+        n_win_w = w // ws
+        grid = (h // ws, b)
+        kernel = functools.partial(_fwd_kernel, window_size=ws,
+                                   num_heads=num_heads, head_dim=head_dim,
+                                   use_mask=use_mask, eps=eps)
+        (wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b, ln2s, ln2b,
+         w1, b1, w2, b2) = args
+        relbig = _relbig(rel_bias, n_win_w)
+        xspec, ins = specs(b, h, w, c, n_win_w, n)
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=ins, out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(x, wqkv, bqkv, wproj, bproj, relbig, mask_in,
+          ln1s.reshape(1, -1), ln1b.reshape(1, -1), ln2s.reshape(1, -1),
+          ln2b.reshape(1, -1), w1, b1.reshape(1, -1), w2,
+          b2.reshape(1, -1), dp)
+
+    def bwd_call(x, args, mask_in, dp, dy):
+        b, h, w, c = x.shape
+        head_dim = c // num_heads
+        n = ws * ws
+        n_win_w = w // ws
+        hidden = args[9].shape[-1]  # w1 [C, hidden]
+        grid = (h // ws, b)
+        kernel = functools.partial(_bwd_kernel, window_size=ws,
+                                   num_heads=num_heads, head_dim=head_dim,
+                                   use_mask=use_mask, eps=eps)
+        (wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b, ln2s, ln2b,
+         w1, b1, w2, b2) = args
+        relbig = _relbig(rel_bias, n_win_w)
+        xspec, ins = specs(b, h, w, c, n_win_w, n)
+        ins.append(xspec)  # dy
+        acc = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda g, bi: (0,) * len(shape),
+            memory_space=pltpu.VMEM)
+        res = pl.pallas_call(
+            kernel, grid=grid, in_specs=ins,
+            out_specs=[
+                xspec,
+                acc((c, 3 * c)), acc((1, 3 * c)),        # dwqkv, dbqkv
+                acc((c, c)), acc((1, c)),                # dwproj, dbproj
+                acc((num_heads, n, n)),                  # drel
+                acc((1, c)), acc((1, c)),                # dln1s, dln1b
+                acc((1, c)), acc((1, c)),                # dln2s, dln2b
+                acc((c, hidden)), acc((1, hidden)),      # dw1, db1
+                acc((hidden, c)), acc((1, c)),           # dw2, db2
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+                jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+                jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+                jax.ShapeDtypeStruct((c, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((c, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(x, wqkv, bqkv, wproj, bproj, relbig, mask_in,
+          ln1s.reshape(1, -1), ln1b.reshape(1, -1), ln2s.reshape(1, -1),
+          ln2b.reshape(1, -1), w1, b1.reshape(1, -1), w2,
+          b2.reshape(1, -1), dp, dy)
+        return res
+
+    @jax.custom_vjp
+    def block(x, args, mask_in, dp):
+        return fwd_call(x, args, mask_in, dp)
+
+    def block_fwd(x, args, mask_in, dp):
+        return fwd_call(x, args, mask_in, dp), (x, args, mask_in, dp)
+
+    def block_bwd(resid, dy):
+        x, args, mask_in, dp = resid
+        (dx, dwqkv, dbqkv, dwproj, dbproj, drel, dln1s, dln1b, dln2s,
+         dln2b, dw1, db1, dw2, db2) = bwd_call(x, args, mask_in, dp, dy)
+        (wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b, ln2s, ln2b,
+         w1, b1, w2, b2) = args
+        dargs = (dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
+                 dwproj.astype(wproj.dtype), dbproj[0].astype(bproj.dtype),
+                 drel.astype(rel_bias.dtype), dln1s[0].astype(ln1s.dtype),
+                 dln1b[0].astype(ln1b.dtype), dln2s[0].astype(ln2s.dtype),
+                 dln2b[0].astype(ln2b.dtype), dw1.astype(w1.dtype),
+                 db1[0].astype(b1.dtype), dw2.astype(w2.dtype),
+                 db2[0].astype(b2.dtype))
+        return dx, dargs, jnp.zeros_like(mask_in), jnp.zeros_like(dp)
+
+    block.defvjp(block_fwd, block_bwd)
+    return block
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "num_heads",
+                                             "eps", "interpret"))
+def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
+                     ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+                     w1, b1, w2, b2,
+                     mask: Optional[jax.Array] = None,
+                     drop_path: Optional[jax.Array] = None,
+                     *, window_size: int, num_heads: int, eps: float = 1e-5,
+                     interpret: bool = False) -> jax.Array:
+    """One Swin block (LN -> W-MSA -> +res -> LN -> MLP -> +res), fused.
+
+    Args:
+      x: [B, H, W, C] pre-rolled input (roll for shifted windows commutes
+        with every per-token op in the block and stays outside).
+      wqkv/bqkv/wproj/bproj/rel_bias: attention params as in
+        fused_window_attention.
+      ln?_scale/ln?_bias: [C] f32 LayerNorm parameters.
+      w1/b1: [C, hidden]/[hidden]; w2/b2: [hidden, C] MLP parameters.
+      mask: optional [n_windows, ws*ws, ws*ws] SW-MSA additive mask.
+      drop_path: optional [B, 2] keep-scaled per-sample DropPath
+        multipliers for the two residual branches (1.0 = keep; the caller
+        draws mask/keep once per sample).
+
+    Returns:
+      [B, H, W, C] block output.
+    """
+    b, h, w, c = x.shape
+    ws = window_size
+    n = ws * ws
+    n_win_w = w // ws
+    use_mask = mask is not None
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if mask is None:
+        mask_in = jnp.zeros((1, 1), jnp.float32)
+    else:
+        mask_in = _maskbig(mask, h // ws, n_win_w, n)
+    if drop_path is None:
+        dp = jnp.ones((b, 2), jnp.float32)
+    else:
+        dp = drop_path.astype(jnp.float32)
+
+    args = (wqkv, bqkv, wproj, bproj, rel_bias.astype(jnp.float32),
+            ln1_scale, ln1_bias, ln2_scale, ln2_bias, w1, b1, w2, b2)
+    fn = _make_block_fn(ws, num_heads, use_mask, eps, interpret)
+    return fn(x, args, mask_in, dp)

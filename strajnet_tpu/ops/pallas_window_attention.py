@@ -1,32 +1,36 @@
 """Pallas TPU kernel: fused shifted-window attention (forward + backward).
 
 Fuses, for one row of windows per program: the qkv projection, window
-partition, per-window multi-head attention with relative-position bias and
-SW-MSA mask, softmax, value aggregation, window merge, and the output
-projection — everything VMEM-resident. This removes the partition/reverse
-reshape round-trips through HBM that dominate the XLA lowering of the Swin
-block (reference modules.py:227-255 materializes each of them).
+partition, multi-head attention with relative-position bias and SW-MSA mask,
+softmax, value aggregation, window merge, and the output projection —
+everything VMEM-resident. This removes the partition/reverse reshape
+round-trips through HBM that dominate the XLA lowering of the Swin block
+(reference modules.py:227-255 materializes each of them).
 
 The cyclic roll for shifted windows stays outside (a single cheap fused copy
 each way); LayerNorm stays outside as well. The kernel therefore computes
 exactly ``proj(attention(window_partition(x)))`` for pre-normalized,
 pre-rolled inputs.
 
-Layout per grid step (b, g):
-  x tile [ws, W, C]  ->  qkv = x2d @ Wqkv  (MXU, [ws*W, 3C])
-  for each of W/ws windows w and head h:
-      q, k, v = slices of the qkv tile              (VMEM)
-      logits = q k^T * scale + rel_bias[h] + mask[w]  (MXU + VPU)
-      out_w[h] = softmax(logits) v                   (f32 softmax)
-  out tile [ws*W, C] @ Wproj + bias -> out ref
+Dense-strip formulation: the W/ws windows of a row strip are attended as ONE
+[N, N] masked attention per head (N = ws*W tokens in window-major order)
+with a block-diagonal structure — cross-window logits get -1e9 from an
+iota-built mask, so their softmax weights underflow to *exactly* zero and
+the result is bit-identical to per-window softmax (adding exact zeros
+changes no f32 sum). This replaces the per-(window, head) micro-matmuls of
+the naive fusion — hundreds of [64, head_dim] MXU dispatches per strip,
+which made the backward ~8x the forward's cost — with a handful of
+[N, N]-scale matmuls per head. The per-window relative-position bias enters
+as a host-precomputed tile-repeated [heads, N, N] table; the SW-MSA mask
+(values in {0, -100}, exact in bf16) as a per-strip [N, N] block.
 
 Training support: the op carries a ``jax.custom_vjp`` whose backward is a
-second Pallas kernel. It recomputes qkv and the per-window softmax in VMEM
-(cheaper than saving [B,H,W,3C] intermediates to HBM) and produces dx as
+second Pallas kernel with the same dense structure. It recomputes qkv and
+the softmax in VMEM (cheaper than saving [B,H,W,3C] intermediates to HBM),
+runs its matmuls with bf16 operands / f32 accumulation, and produces dx as
 tiles plus the weight/bias/rel-bias gradients accumulated across the
-sequential TPU grid (all grid steps map onto one revisited VMEM block that is
-zero-initialized on the first step). The SW-MSA mask is a constant — its
-cotangent is zero.
+sequential TPU grid (revisited VMEM blocks, zero-initialized on the first
+step). The SW-MSA mask is a constant — its cotangent is zero.
 """
 
 from __future__ import annotations
@@ -41,74 +45,71 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_tile(qkv, bias_ref, mask_ref, *, window_size, num_heads, head_dim,
-               use_mask, want_probs=False):
-    """Per-window attention over one [ws, W, 3C] qkv tile.
+def _window_major(x3, ws, n_win, c):
+    """[ws, W, C] row-major strip -> [N, C] window-major tokens."""
+    return jnp.concatenate(
+        [x3[:, i * ws:(i + 1) * ws, :].reshape(ws * ws, c)
+         for i in range(n_win)], axis=0)
 
-    Returns out2d [ws*W, C] and, when ``want_probs``, the per-window/head
-    softmax probabilities and (q, k, v) slices for the backward pass.
-    """
-    ws = window_size
-    w_full = qkv.shape[1]
-    c = qkv.shape[-1] // 3
-    n_win = w_full // ws
+
+def _row_major(y2, ws, n_win, c):
+    """[N, C] window-major tokens -> [ws, W, C] row-major strip."""
     n = ws * ws
-    scale = head_dim ** -0.5
-
-    win_outs = []
-    saved = []
-    for w in range(n_win):
-        tile = qkv[:, w * ws:(w + 1) * ws, :].reshape(n, 3 * c)
-        outs = []
-        for h in range(num_heads):
-            off = h * head_dim
-            q = tile[:, off:off + head_dim]
-            k = tile[:, c + off:c + off + head_dim]
-            v = tile[:, 2 * c + off:2 * c + off + head_dim]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            logits = logits + bias_ref[h].astype(jnp.float32)
-            if use_mask:
-                logits = logits + mask_ref[w].astype(jnp.float32)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32)
-            outs.append(o)
-            if want_probs:
-                saved.append((p, q, k, v))
-        merged = jnp.concatenate(outs, axis=-1)       # [n, C] f32
-        win_outs.append(merged.reshape(ws, ws, c))
-
-    out = jnp.concatenate(win_outs, axis=1)           # [ws, W, C]
-    return out.reshape(ws * w_full, c), saved
+    return jnp.concatenate(
+        [y2[i * n:(i + 1) * n, :].reshape(ws, ws, c)
+         for i in range(n_win)], axis=1)
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+def _offdiag_neg(n_tokens, n):
+    """[N, N] f32: 0 on the block diagonal, -1e9 off it (cross-window)."""
+    bi = jax.lax.broadcasted_iota(jnp.int32, (n_tokens, n_tokens), 0) // n
+    bj = jax.lax.broadcasted_iota(jnp.int32, (n_tokens, n_tokens), 1) // n
+    return jnp.where(bi == bj, 0.0, -1e9)
+
+
+def _heads_qkv(qkv, c, head_dim, h):
+    q = qkv[:, h * head_dim:(h + 1) * head_dim]
+    k = qkv[:, c + h * head_dim:c + (h + 1) * head_dim]
+    v = qkv[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+    return q, k, v
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
             mask_ref, out_ref, *, window_size, num_heads, head_dim,
             use_mask):
     ws = window_size
     c = x_ref.shape[-1]
     w_full = x_ref.shape[2]
+    n_win = w_full // ws
+    n = ws * ws
+    nt = n_win * n
+    scale = head_dim ** -0.5
 
-    x2d = x_ref[0].reshape(ws * w_full, c)
-    qkv = jnp.dot(x2d, wqkv_ref[:],
-                  preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x2d.dtype)
-    qkv = qkv.reshape(ws, w_full, 3 * c)
+    xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
+    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
 
-    out2d, _ = _attn_tile(qkv, bias_ref, mask_ref, window_size=ws,
-                          num_heads=num_heads, head_dim=head_dim,
-                          use_mask=use_mask)
-    out2d = out2d.astype(x2d.dtype)
-    y = jnp.dot(out2d, wproj_ref[:], preferred_element_type=jnp.float32)
+    neg = _offdiag_neg(nt, n)
+    outs = []
+    for h in range(num_heads):
+        q, k, v = _heads_qkv(qkv, c, head_dim, h)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + relbig_ref[h].astype(jnp.float32) + neg
+        if use_mask:
+            s = s + mask_ref[0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(xw.dtype), v,
+                            preferred_element_type=jnp.float32))
+    merged = jnp.concatenate(outs, axis=-1).astype(xw.dtype)  # [N, C]
+    y = jnp.dot(merged, wproj_ref[:], preferred_element_type=jnp.float32)
     y = y + bproj_ref[:].astype(jnp.float32)
-    out_ref[0] = y.reshape(ws, w_full, c).astype(out_ref.dtype)
+    out_ref[0] = _row_major(y, ws, n_win, c).astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, mask_ref,
+def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, relbig_ref, mask_ref,
                 dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
                 dbias_ref, *, window_size, num_heads, head_dim, use_mask):
     ws = window_size
@@ -116,7 +117,9 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, mask_ref,
     w_full = x_ref.shape[2]
     n_win = w_full // ws
     n = ws * ws
+    nt = n_win * n
     scale = head_dim ** -0.5
+    bf = jnp.bfloat16
 
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -125,94 +128,97 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, mask_ref,
         for ref in (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
-    # Recompute the forward in VMEM.
-    x2d = x_ref[0].reshape(ws * w_full, c)
-    qkv = jnp.dot(x2d, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x2d.dtype)
-    qkv3 = qkv.reshape(ws, w_full, 3 * c)
-    out2d, saved = _attn_tile(qkv3, bias_ref, mask_ref, window_size=ws,
-                              num_heads=num_heads, head_dim=head_dim,
-                              use_mask=use_mask, want_probs=True)
+    # Recompute the forward's qkv in VMEM.
+    xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
+    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
 
-    dy2d = dy_ref[0].reshape(ws * w_full, c).astype(jnp.float32)
+    dyw = _window_major(dy_ref[0], ws, n_win, c).astype(bf)   # [N, C]
+    neg = _offdiag_neg(nt, n)
 
-    # Output-projection gradients.
-    dwproj_ref[...] += jax.lax.dot_general(
-        out2d, dy2d, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbproj_ref[...] += jnp.sum(dy2d, axis=0, keepdims=True)
-    dout2d = jax.lax.dot_general(
-        dy2d, wproj_ref[:].astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    dout = dout2d.reshape(ws, w_full, c)
-
-    # Attention backward per window/head; assemble dqkv tile.
-    dbias_acc = [jnp.zeros((n, n), jnp.float32) for _ in range(num_heads)]
-    dqkv_wins = []
-    si = 0
-    for w in range(n_win):
-        do_win = dout[:, w * ws:(w + 1) * ws, :].reshape(n, c)
-        dq_parts, dk_parts, dv_parts = [], [], []
-        for h in range(num_heads):
-            p, q, k, v = saved[si]
-            si += 1
-            do = do_win[:, h * head_dim:(h + 1) * head_dim]
-            # dP = dO V^T ; dV = P^T dO
-            dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            # softmax backward
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dbias_acc[h] = dbias_acc[h] + ds
-            dq = jnp.dot(ds, k.astype(jnp.float32),
-                         preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                                     (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32
-                                     ) * scale
-            dq_parts.append(dq)
-            dk_parts.append(dk)
-            dv_parts.append(dv)
-        dqkv_win = jnp.concatenate(
-            dq_parts + dk_parts + dv_parts, axis=-1)   # [n, 3C]
-        dqkv_wins.append(dqkv_win.reshape(ws, ws, 3 * c))
-
-    dqkv = jnp.concatenate(dqkv_wins, axis=1).reshape(ws * w_full, 3 * c)
-
+    # First pass: recompute per-head outputs for the projection gradients.
+    outs = []
     for h in range(num_heads):
-        dbias_ref[h] += dbias_acc[h]
+        q, k, v = _heads_qkv(qkv, c, head_dim, h)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + relbig_ref[h].astype(jnp.float32) + neg
+        if use_mask:
+            s = s + mask_ref[0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append((p, jnp.dot(p.astype(xw.dtype), v,
+                                preferred_element_type=jnp.float32)))
+    merged = jnp.concatenate([o for _, o in outs], axis=-1).astype(bf)
+
+    # Output-projection gradients (bf16 operands, f32 accumulate).
+    dwproj_ref[...] += jax.lax.dot_general(
+        merged, dyw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(dyw.astype(jnp.float32), axis=0,
+                               keepdims=True)
+    dmerged = jax.lax.dot_general(
+        dyw, wproj_ref[:].astype(bf), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [N, C] f32
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(num_heads):
+        p, _ = outs[h]
+        q, k, v = _heads_qkv(qkv, c, head_dim, h)
+        do = dmerged[:, h * head_dim:(h + 1) * head_dim].astype(bf)
+        pb = p.astype(bf)
+        dp = jax.lax.dot_general(do, v.astype(bf), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # softmax backward — off-diagonal blocks have p == 0 exactly, so ds
+        # vanishes there and nothing leaks across windows.
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # rel-bias gradient: sum the diagonal [n, n] blocks over windows
+        acc = jnp.zeros((n, n), jnp.float32)
+        for w in range(n_win):
+            acc = acc + ds[w * n:(w + 1) * n, w * n:(w + 1) * n]
+        dbias_ref[h] += acc
+        dsb = ds.astype(bf)
+        dq = jnp.dot(dsb, k.astype(bf),
+                     preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dsb, q.astype(bf), (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_parts.append(dq.astype(bf))
+        dk_parts.append(dk.astype(bf))
+        dv_parts.append(dv.astype(bf))
+
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts,
+                           axis=-1)                          # [N, 3C] bf16
 
     # qkv-projection gradients + input gradient.
     dwqkv_ref[...] += jax.lax.dot_general(
-        x2d.astype(jnp.float32), dqkv, (((0,), (0,)), ((), ())),
+        xw.astype(bf), dqkv, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
-    dx2d = jax.lax.dot_general(
-        dqkv, wqkv_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                              keepdims=True)
+    dxw = jax.lax.dot_general(
+        dqkv, wqkv_ref[:].astype(bf), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dx_ref[0] = dx2d.reshape(ws, w_full, c).astype(dx_ref.dtype)
+    dx_ref[0] = _row_major(dxw, ws, n_win, c).astype(dx_ref.dtype)
 
 
-def _mask_spec(use_mask, n_win_w, n):
-    if use_mask:
-        return pl.BlockSpec((1, n_win_w, n, n), lambda bi, g: (g, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((n_win_w, n, n), lambda bi, g: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
+def _relbig(rel_bias, n_win):
+    """[heads, n, n] f32 -> [heads, N, N] tile-repeated (the off-diagonal
+    values are dominated by the -1e9 cross-window mask in the kernel)."""
+    return jnp.tile(rel_bias, (1, n_win, n_win))
 
 
-class _MaskRow:
-    """Adapter so the kernel body indexes mask[w] uniformly whether the
-    block carries a leading per-row axis (shifted case) or not."""
-
-    def __init__(self, ref, has_row_axis):
-        self._ref = ref
-        self._has_row = has_row_axis
-
-    def __getitem__(self, idx):
-        return self._ref[0][idx] if self._has_row else self._ref[idx]
+def _maskbig(mask, n_win_h, n_win_w, n):
+    """[n_windows, n, n] SW-MSA mask -> [n_win_h, N, N] bf16 block-diagonal
+    per row strip (mask values {0, -100} are exact in bf16)."""
+    m = mask.reshape(n_win_h, n_win_w, n, n)
+    eye = jnp.eye(n_win_w, dtype=mask.dtype)[None, :, None, :, None]
+    big = eye * m[:, :, :, None, :]
+    big = jnp.transpose(big, (0, 1, 2, 3, 4)).reshape(
+        n_win_h, n_win_w * n, n_win_w * n)
+    return big.astype(jnp.bfloat16)
 
 
 @functools.lru_cache(maxsize=None)
@@ -221,72 +227,68 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
     """Builds the custom-vjp fused attention for a static geometry."""
     ws = window_size
 
+    def specs(b, h, w, c, n_win_w, n, with_bproj):
+        xspec = pl.BlockSpec((1, ws, w, c), lambda g, bi: (bi, g, 0, 0),
+                             memory_space=pltpu.VMEM)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        ins = [xspec, full, full, full]
+        if with_bproj:
+            ins.append(full)
+        ins.append(full)  # relbig
+        if use_mask:
+            ins.append(pl.BlockSpec((1, n_win_w * n, n_win_w * n),
+                                    lambda g, bi: (g, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        else:
+            ins.append(pl.BlockSpec((1, 1), lambda g, bi: (0, 0),
+                                    memory_space=pltpu.SMEM))
+        return xspec, ins
+
     def fwd_call(x, wqkv, bqkv, wproj, bproj, rel_bias, mask_in):
         b, h, w, c = x.shape
         head_dim = c // num_heads
         n = ws * ws
         n_win_w = w // ws
-        grid = (b, h // ws)
+        # grid (g, b): b iterates fastest, so the per-strip mask block is
+        # fetched once per row of windows.
+        grid = (h // ws, b)
         kernel = functools.partial(_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
                                    use_mask=use_mask)
-
-        def kernel_wrap(x_ref, wq, bq, wp, bp, bias, m_ref, out_ref):
-            kernel(x_ref, wq, bq, wp, bp, bias,
-                   _MaskRow(m_ref, use_mask), out_ref)
-
+        xspec, ins = specs(b, h, w, c, n_win_w, n, with_bproj=True)
+        relbig = _relbig(rel_bias, n_win_w)
         return pl.pallas_call(
-            kernel_wrap,
+            kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, ws, w, c), lambda bi, g: (bi, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # bqkv
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wproj
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # bproj
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # rel_bias
-                _mask_spec(use_mask, n_win_w, n),
-            ],
-            out_specs=pl.BlockSpec((1, ws, w, c),
-                                   lambda bi, g: (bi, g, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=ins,
+            out_specs=xspec,
             out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(x, wqkv, bqkv, wproj, bproj, rel_bias, mask_in)
+        )(x, wqkv, bqkv, wproj, bproj, relbig, mask_in)
 
     def bwd_call(x, wqkv, bqkv, wproj, rel_bias, mask_in, dy):
         b, h, w, c = x.shape
         head_dim = c // num_heads
         n = ws * ws
         n_win_w = w // ws
-        grid = (b, h // ws)
+        grid = (h // ws, b)
         kernel = functools.partial(_bwd_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
                                    use_mask=use_mask)
-
-        def kernel_wrap(x_ref, wq, bq, wp, bias, m_ref, dy_ref, *outs):
-            kernel(x_ref, wq, bq, wp, bias, _MaskRow(m_ref, use_mask),
-                   dy_ref, *outs)
-
-        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        xspec, ins = specs(b, h, w, c, n_win_w, n, with_bproj=False)
+        ins.append(xspec)  # dy
         acc = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda bi, g: (0,) * len(shape),
+            shape, lambda g, bi: (0,) * len(shape),
             memory_space=pltpu.VMEM)
+        relbig = _relbig(rel_bias, n_win_w)
         dx, dwqkv, dbqkv, dwproj, dbproj, dbias = pl.pallas_call(
-            kernel_wrap,
+            kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, ws, w, c), lambda bi, g: (bi, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                full, full, full, full,
-                _mask_spec(use_mask, n_win_w, n),
-                pl.BlockSpec((1, ws, w, c), lambda bi, g: (bi, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=ins,
             out_specs=[
-                pl.BlockSpec((1, ws, w, c), lambda bi, g: (bi, g, 0, 0),
-                             memory_space=pltpu.VMEM),
+                xspec,
                 acc((c, 3 * c)), acc((1, 3 * c)),
                 acc((c, c)), acc((1, c)),
                 acc((num_heads, n, n)),
@@ -299,8 +301,10 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(x, wqkv, bqkv, wproj, rel_bias, mask_in, dy)
+        )(x, wqkv, bqkv, wproj, relbig, mask_in, dy)
         return dx, dwqkv, dbqkv[0], dwproj, dbproj[0], dbias
 
     @jax.custom_vjp
@@ -349,6 +353,7 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     """
     b, h, w, c = x.shape
     ws = window_size
+    n = ws * ws
     n_win_w = w // ws
     use_mask = mask is not None
     if not interpret and jax.default_backend() == "cpu":
@@ -356,11 +361,10 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
         # pallas path stays testable on the virtual CPU mesh.
         interpret = True
     if mask is None:
-        mask_in = jnp.zeros((n_win_w, ws * ws, ws * ws), jnp.float32)
+        mask_in = jnp.zeros((1, 1), jnp.float32)  # unused SMEM placeholder
     else:
-        # full mask is [n_win_h * n_win_w, n, n]; row block g starts at
-        # window g * n_win_w
-        mask_in = mask.reshape(-1, n_win_w, ws * ws, ws * ws)
+        mask_in = _maskbig(mask, h // ws, n_win_w, n)
 
     fused = _make_fused_fn(ws, num_heads, use_mask, interpret)
-    return fused(x, wqkv, bqkv, wproj, bproj, rel_bias, mask_in)
+    return fused(x, wqkv, bqkv, wproj, bproj, rel_bias.astype(jnp.float32),
+                 mask_in)

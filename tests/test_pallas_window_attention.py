@@ -111,7 +111,10 @@ def test_model_pallas_path_matches_xla_forward_and_grad():
         gp = np.asarray(kp_flat[path])
         gx = np.asarray(gx)
         scale = max(np.abs(gx).max(), floor)
-        assert np.abs(gp - gx).max() <= 5e-3 * scale, (
+        # 1%-of-scale: both paths compute bf16-operand gradients but with
+        # different accumulation groupings (the kernel's backward runs bf16
+        # matmuls with f32 accumulate).
+        assert np.abs(gp - gx).max() <= 1e-2 * scale, (
             path, np.abs(gp - gx).max(), scale)
         checked += 1
     assert checked > 50
@@ -148,5 +151,12 @@ def test_fused_window_attention_backward_matches_xla(shift):
     g_fused = jax.grad(loss_fused)(args)
     names = ("x", "wqkv", "bqkv", "wproj", "bproj", "rel_bias")
     for name, a, b_ in zip(names, g_ref, g_fused):
-        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
-                                   rtol=5e-4, atol=5e-4, err_msg=name)
+        a = np.asarray(a)
+        # The backward kernel runs its matmuls with bf16 operands / f32
+        # accumulate (f32 MXU matmuls made it ~9x the forward's cost) —
+        # compare against the f32 reference at bf16 precision, scaled per
+        # gradient group. The rest of the model's bf16 layers have the same
+        # gradient precision.
+        tol = 8e-3 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(b_), a, rtol=0, atol=tol,
+                                   err_msg=name)
