@@ -127,8 +127,10 @@ def main():
 
     from strajnet_tpu.config import STRAJNET_CONFIG
 
-    # fused Pallas window attention on both paths (custom_vjp for training)
-    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=True)
+    # None = auto kernel selection: fused block kernel for inference,
+    # attention-only kernel (custom_vjp) for training — the same defaults
+    # the training/inference CLIs resolve to on TPU.
+    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=None)
 
     scenes_per_sec, mfu = bench_inference(cfg)
     train_sps, train_ms = bench_training(cfg)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -158,10 +158,13 @@ class ModelConfig:
     # Precision: compute dtype for the network ("bfloat16" | "float32").
     dtype: str = "bfloat16"
 
-    # Fused Pallas window-attention kernel (identical math; custom-VJP
-    # backward kernel on the training path). None = auto: on for TPU
+    # Fused Pallas kernel mode (identical math; custom-VJP backward
+    # kernels on the training path). None = auto: "block" for TPU
     # backends, off elsewhere (the CPU fallback would run interpreted).
-    use_pallas_attention: Optional[bool] = None
+    #   False    -> pure-XLA path
+    #   "attn"   -> fused window-attention kernel only (LN/MLP in XLA)
+    #   True or "block" -> fully fused Swin block kernel
+    use_pallas_attention: Optional[Union[bool, str]] = None
 
     @property
     def shallow_decode(self) -> int:

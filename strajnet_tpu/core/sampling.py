@@ -215,6 +215,13 @@ def flow_warp_origin(flow_origin_occupancy: jax.Array,
     ~10x faster than the scalar 4-corner gather XLA otherwise emits (the
     warp term dominated the whole training step before this). The portable
     jnp path below runs everywhere else (CPU tests, golden parity).
+
+    PRECONDITION for the kernel route: the kernel gathers via bf16 one-hot
+    matmuls, so the result is exact only when the occupancy values are
+    bf16-representable (the 0/1 grids of the loss/metrics call sites — the
+    only callers). Passing non-binary occupancies (e.g. soft/averaged
+    grids) on TPU would silently lose precision below ~3 significant
+    digits; route such callers through ``sample`` directly instead.
     """
     _, h, w, _ = flow_origin_occupancy.shape
     warp = identity_warp_indices(h, w, flow.dtype)[None] + flow

@@ -79,6 +79,11 @@ def main():
     p.add_argument("--weight_path", type=str, default="",
                    help="Orbax checkpoint directory")
     p.add_argument("--no_id_check", action="store_true")
+    p.add_argument("--split", type=str, default="test",
+                   choices=["test", "val"],
+                   help="scenario-id whitelist to validate against "
+                        "(reference inference.py:261-272 supports both "
+                        "testing and validation id sets)")
     args = p.parse_args()
 
     state = create_train_state(STRAJNET_CONFIG, TrainConfig())
@@ -96,7 +101,8 @@ def main():
 
     predict_step = make_predict_step(STRAJNET_CONFIG.num_waypoints)
 
-    ids = None if args.no_id_check else load_scenario_ids(args.ids_dir)
+    ids = (None if args.no_id_check
+           else load_scenario_ids(args.ids_dir, test=args.split == "test"))
     shards = sorted(glob.glob(os.path.join(args.file_dir, "*.tfrecords")))
     print(f"{len(shards)} found, start loading dataset")
     total = 0

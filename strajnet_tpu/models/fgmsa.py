@@ -165,8 +165,13 @@ class FGMSA(nn.Module):
                 b * self.n_groups, 2 * h - 1, 2 * w - 1, n_group_heads)
 
             posk = pos.reshape(b * self.n_groups, n_sample, 2)
-            if not self.use_last_ref and (self.no_off
-                                          or self.offset_range_factor > 0):
+            # no_off with offset_range_factor < 0 is excluded: there
+            # pos = tanh(reference) rather than the reference grid itself,
+            # so the |pos - ref| <= bound precondition of rpe_window_bias
+            # would not hold (bound would be 0).
+            if not self.use_last_ref and (
+                    (self.no_off and self.offset_range_factor >= 0)
+                    or self.offset_range_factor > 0):
                 # Queries form the integer grid and offsets are statically
                 # bounded (tanh * range, or zero): the per-pair bilinear
                 # sample collapses to a per-key blended window of the table

@@ -38,11 +38,17 @@ class STrajNet(nn.Module):
         bh, bw = cfg.bottleneck_size
         bd = cfg.bottleneck_dim
 
-        # None = auto: fused Pallas window attention whenever we're actually
-        # compiling for a TPU (the CPU fallback would run interpreted).
+        # None = auto on TPU backends (the CPU fallback would run
+        # interpreted): the fully fused block kernel for inference; the
+        # attention-only kernel for training until the block backward is
+        # TPU-proven at flagship geometry (its fwd is bench-verified, its
+        # bwd crashed the TPU worker at 128^2 strips — round-3 finding).
         use_pallas = cfg.use_pallas_attention
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            if jax.default_backend() == "tpu":
+                use_pallas = "block" if deterministic else "attn"
+            else:
+                use_pallas = False
 
         res_list = SwinTransformerEncoder(
             img_size=cfg.input_size,

@@ -20,7 +20,7 @@ patch grid so tiny test configs compile the same program shape.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -247,7 +247,7 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -277,9 +277,16 @@ class SwinTransformerBlock(nn.Module):
         # depth is handled by per-sample keep masks passed to the kernel).
         # At the 128^2-token stages the per-op XLA lowering is HBM-bound —
         # every LN/residual/MLP boundary streams a ~50 MB activation.
-        if (self.use_pallas and not self.is_initializing()
-                and (deterministic
-                     or (self.attn_drop == 0.0 and self.drop == 0.0))):
+        # use_pallas: False | "attn" (fused attention only, LN/MLP in XLA)
+        # | True/"block" (fully fused block kernel).
+        pallas_mode = self.use_pallas
+        if pallas_mode is True:
+            pallas_mode = "block"
+        pallas_ok = (pallas_mode and not self.is_initializing()
+                     and (deterministic
+                          or (self.attn_drop == 0.0 and self.drop == 0.0)))
+
+        if pallas_ok and pallas_mode == "block":
             from strajnet_tpu.ops.pallas_swin_block import fused_swin_block
 
             dt = self.dtype
@@ -321,12 +328,28 @@ class SwinTransformerBlock(nn.Module):
         if shift_size > 0:
             x = jnp.roll(x, shift=(-shift_size, -shift_size), axis=(1, 2))
 
-        x_windows = window_partition(x, window_size)
-        x_windows = x_windows.reshape(-1, window_size * window_size, c)
-        attn_windows = attn_mod(x_windows, mask, deterministic)
-        attn_windows = attn_windows.reshape(-1, window_size,
-                                            window_size, c)
-        x = window_reverse(attn_windows, window_size, h, w, c)
+        if pallas_ok and pallas_mode == "attn":
+            # Attention-only fused kernel: qkv + masked softmax + proj in
+            # one VMEM-resident pallas_call on the pre-normalized, pre-
+            # rolled [B, H, W, C] grid; LN/MLP/residuals stay in XLA.
+            from strajnet_tpu.ops.pallas_window_attention import (
+                fused_window_attention)
+
+            dt = self.dtype
+            wqkv, bqkv, wproj, bproj, rel_bias = attn_mod.fused_params()
+            x = fused_window_attention(
+                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt),
+                rel_bias.astype(jnp.float32),
+                jnp.asarray(mask) if mask is not None else None,
+                window_size=window_size, num_heads=self.num_heads)
+        else:
+            x_windows = window_partition(x, window_size)
+            x_windows = x_windows.reshape(-1, window_size * window_size, c)
+            attn_windows = attn_mod(x_windows, mask, deterministic)
+            attn_windows = attn_windows.reshape(-1, window_size,
+                                                window_size, c)
+            x = window_reverse(attn_windows, window_size, h, w, c)
 
         if shift_size > 0:
             x = jnp.roll(x, shift=(shift_size, shift_size), axis=(1, 2))
@@ -399,7 +422,7 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
     downsample: bool = False
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -523,7 +546,7 @@ class SwinTransformerEncoder(nn.Module):
     flow_sep: bool = True
     use_flow: bool = True
     large_input: bool = True
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -120,7 +120,7 @@ class MetricsAccumulator:
     no_warp: bool = False
 
     def __post_init__(self):
-        self._sums: Dict[str, float] = {}
+        self._sums: Dict[str, Any] = {}
         self._count = 0
 
     def reset_states(self):
@@ -128,8 +128,12 @@ class MetricsAccumulator:
         self._count = 0
 
     def update_state(self, metrics: Dict[str, jax.Array]):
+        # Device scalars accumulate with async device-side adds; the host
+        # fetch happens once, in get_result (a per-batch float() here
+        # would round-trip the remote-TPU tunnel every eval batch).
         for k, v in metrics.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(v)
+            prev = self._sums.get(k)
+            self._sums[k] = v if prev is None else prev + v
         self._count += 1
 
     def get_result(self) -> Dict[str, float]:
@@ -149,7 +153,7 @@ class MetricsAccumulator:
             name = short.get(k, k)
             if self.no_warp and name.startswith("flow_ogm"):
                 continue
-            out[f"{self.prefix}_{name}"] = s / self._count
+            out[f"{self.prefix}_{name}"] = float(s) / self._count
         return out
 
 

@@ -92,8 +92,9 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     dt = x_ref.dtype
 
     xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
-    dp1 = dp_ref[0, 0]
-    dp2 = dp_ref[0, 1]
+    bi = pl.program_id(1)
+    dp1 = dp_ref[bi, 0]
+    dp2 = dp_ref[bi, 1]
 
     h1, _, _ = _ln_f32(xw, ln1s_ref[0], ln1b_ref[0], eps)
     h1b = h1.astype(dt)
@@ -160,8 +161,9 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
 
     xw = _window_major(x_ref[0], ws, n_win, c)
     dyw = _window_major(dy_ref[0], ws, n_win, c).astype(jnp.float32)
-    dp1 = dp_ref[0, 0]
-    dp2 = dp_ref[0, 1]
+    bi = pl.program_id(1)
+    dp1 = dp_ref[bi, 0]
+    dp2 = dp_ref[bi, 1]
 
     # ---- forward recompute ----
     h1, xhat1, inv1 = _ln_f32(xw, ln1s_ref[0], ln1b_ref[0], eps)
@@ -289,8 +291,11 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
         else:
             mspec = pl.BlockSpec((1, 1), lambda g, bi: (0, 0),
                                  memory_space=pltpu.SMEM)
-        dpspec = pl.BlockSpec((1, 2), lambda g, bi: (bi, 0),
-                              memory_space=pltpu.SMEM)
+        # Whole-array SMEM: Mosaic requires the last block dims to be
+        # divisible by (8, 128) or equal to the array dims, so a (1, 2)
+        # block over [B, 2] only lowers at B == 1. Kernels index the
+        # batch row via pl.program_id(1) instead.
+        dpspec = pl.BlockSpec(memory_space=pltpu.SMEM)
         # x, wqkv, bqkv, wproj, bproj, relbig, mask, ln1s, ln1b, ln2s,
         # ln2b, w1, b1, w2, b2, dp
         ins = [xspec, full, full, full, full, full, mspec,

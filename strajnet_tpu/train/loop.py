@@ -27,7 +27,7 @@ import argparse
 import csv
 import os
 import time
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,21 +61,25 @@ from strajnet_tpu.train.step import (
 class LossMeans:
     """Running means of the loss dict (reference train.py:159-170).
 
-    Values passed to :meth:`update` may be device scalars; the host float
-    conversion happens only in :meth:`result` — callers decide when to sync.
+    Device scalars are accumulated with async device-side adds — NO host
+    sync per update (through the remote-TPU tunnel a per-batch ``float()``
+    fetch serializes the whole epoch). The single host conversion happens
+    in :meth:`result`.
     """
 
     def __init__(self):
-        self.sums: Dict[str, float] = {}
+        self.sums: Dict[str, Any] = {}
         self.count = 0
 
     def update(self, losses: Dict[str, jax.Array], n: int = 1):
         for k, v in losses.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            prev = self.sums.get(k)
+            self.sums[k] = v if prev is None else prev + v
         self.count += n
 
     def result(self) -> Dict[str, float]:
-        return {k: s / max(self.count, 1) for k, s in self.sums.items()}
+        return {k: float(s) / max(self.count, 1)
+                for k, s in self.sums.items()}
 
     def reset(self):
         self.sums, self.count = {}, 0
@@ -212,12 +216,21 @@ def main():
     p.add_argument("--model_axis", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 10-20 here")
+    p.add_argument("--pallas", type=str, default="auto",
+                   choices=["auto", "off", "attn", "block"],
+                   help="Pallas kernel mode (off = pure XLA escape hatch; "
+                        "attn = fused window attention only; block = fully "
+                        "fused Swin block)")
     args = p.parse_args()
 
     model_cfg = STRAJNET_CONFIG
     if args.no_fg_msa:
         from strajnet_tpu.config import STRAJNET_TRAIN_PY_CONFIG
         model_cfg = STRAJNET_TRAIN_PY_CONFIG
+    if args.pallas != "auto":
+        import dataclasses as _dc
+        mode = {"off": False, "attn": "attn", "block": "block"}[args.pallas]
+        model_cfg = _dc.replace(model_cfg, use_pallas_attention=mode)
 
     train_cfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
                             lr=args.lr, use_schedule=not args.constant_lr,

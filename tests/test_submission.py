@@ -150,3 +150,14 @@ def test_shard_filename():
             "occupancy_flow_submission.binproto-00042-of-00150")
     with pytest.raises(ValueError):
         submission_shard_filename("/x/whatever.tfrecords")
+
+
+def test_load_scenario_ids_val_split(tmp_path):
+    """--split val must read validation_scenario_ids.txt (reference
+    inference.py:261-272 supports both id sets)."""
+    from strajnet_tpu.infer.runner import load_scenario_ids
+
+    (tmp_path / "testing_scenario_ids.txt").write_text("t1\nt2\n")
+    (tmp_path / "validation_scenario_ids.txt").write_text("v1\nv2\nv3\n")
+    assert load_scenario_ids(str(tmp_path), test=True) == {"t1", "t2"}
+    assert load_scenario_ids(str(tmp_path), test=False) == {"v1", "v2", "v3"}
