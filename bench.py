@@ -122,7 +122,8 @@ def bench_training(cfg):
     return TRAIN_BATCH * TRAIN_ITERS / dt, dt / TRAIN_ITERS * 1e3
 
 
-def main():
+def _child(phase: str):
+    """Runs one phase in this process and prints its JSON line."""
     import dataclasses
 
     from strajnet_tpu.config import STRAJNET_CONFIG
@@ -131,21 +132,68 @@ def main():
     # attention-only kernel (custom_vjp) for training — the same defaults
     # the training/inference CLIs resolve to on TPU.
     cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=None)
+    if phase == "inference":
+        scenes_per_sec, mfu = bench_inference(cfg)
+        print("BENCH_PHASE " + json.dumps(
+            {"scenes_per_sec": scenes_per_sec, "mfu": mfu}))
+    else:
+        train_sps, train_ms = bench_training(cfg)
+        print("BENCH_PHASE " + json.dumps(
+            {"train_sps": train_sps, "train_ms": train_ms}))
 
-    scenes_per_sec, mfu = bench_inference(cfg)
-    train_sps, train_ms = bench_training(cfg)
 
-    print(json.dumps({
+def _run_phase(phase: str, timeout_s: int):
+    """Spawns this script as a phase child; returns its JSON or None.
+
+    Isolation serves two purposes: the phases don't share the chip's HBM
+    (each gets a clean client), and a TPU-worker crash in one phase —
+    which takes the whole client down, not just the enqueued program —
+    cannot zero out the other phase's measurement.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_CHILD=phase)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"{phase}: timeout after {timeout_s}s"
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_PHASE "):
+            return json.loads(line[len("BENCH_PHASE "):]), None
+    tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
+    return None, f"{phase}: rc={out.returncode} " + " | ".join(tail)
+
+
+def main():
+    phase = os.environ.get("BENCH_CHILD")
+    if phase:
+        _child(phase)
+        return
+
+    inf, inf_err = _run_phase("inference", 3300)
+    train, train_err = _run_phase("training", 3300)
+
+    if inf is None:
+        raise SystemExit(f"inference bench failed: {inf_err}")
+    result = {
         "metric": "inference_scenes_per_sec",
-        "value": round(scenes_per_sec, 2),
+        "value": round(inf["scenes_per_sec"], 2),
         "unit": "scenes/s/chip",
-        "vs_baseline": round(scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC,
-                             3),
-        "mfu": round(mfu, 4) if mfu is not None else None,
-        "train_scenes_per_sec": round(train_sps, 2),
+        "vs_baseline": round(
+            inf["scenes_per_sec"] / A100_REFERENCE_SCENES_PER_SEC, 3),
+        "mfu": (round(inf["mfu"], 4)
+                if inf.get("mfu") is not None else None),
         "train_batch": TRAIN_BATCH,
-        "train_ms_per_step": round(train_ms, 1),
-    }))
+    }
+    if train is not None:
+        result["train_scenes_per_sec"] = round(train["train_sps"], 2)
+        result["train_ms_per_step"] = round(train["train_ms"], 1)
+    else:
+        result["train_error"] = train_err
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

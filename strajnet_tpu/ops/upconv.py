@@ -65,24 +65,9 @@ def compose_upsample_kernel(w3: jax.Array) -> jax.Array:
     return k4
 
 
-def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
-                       bias: jax.Array | None = None) -> jax.Array:
-    """conv3x3(SAME)(nearest_upsample_2x(x)) without materializing the 2x grid.
-
-    Lowered as one lhs-dilated (transposed) conv with the composed 4x4
-    kernel — XLA's TPU backend phase-decomposes dilated convs natively, so
-    this beats both the naive path (~5.5x) and an explicit phase-stack
-    formulation (~2.5x) at the decoder's hot shapes.
-
-    Args:
-      x: [N, H, W, Cin].
-      w3: [3, 3, Cin, Cout] canonical conv kernel (same params as the naive
-        path — checkpoints stay compatible).
-      bias: optional [Cout].
-
-    Returns:
-      [N, 2H, 2W, Cout], numerically identical to the naive computation.
-    """
+def _upsample2x_conv3x3_dilated(x: jax.Array, w3: jax.Array,
+                                bias: jax.Array | None) -> jax.Array:
+    """Single lhs-dilated (transposed) conv with the composed 4x4 kernel."""
     k4 = compose_upsample_kernel(w3)
     # No preferred_element_type: the MXU accumulates bf16 convs in f32
     # natively, and a dtype-changing conv breaks the transposed-conv VJP.
@@ -93,6 +78,81 @@ def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+@jax.custom_vjp
+def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
+                       bias: jax.Array | None = None) -> jax.Array:
+    """conv3x3(SAME)(nearest_upsample_2x(x)) without materializing the 2x grid.
+
+    Forward: one lhs-dilated (transposed) conv with the composed 4x4
+    kernel — XLA's TPU backend phase-decomposes dilated convs natively, so
+    this beats both the naive path (~5.5x) and an explicit phase-stack
+    formulation (~2.5x) at the decoder's hot shapes.
+
+    Backward (custom VJP): autodiff through the phase-stack formulation —
+    mathematically the same function, but its gradients are plain VALID
+    2x2 convs. Autodiff of the lhs-dilated conv emits rhs-dilated/strided
+    gradient convs that XLA-CPU lowers catastrophically (measured: the
+    flagship decoder backward alone took 740 s/step on the virtual-mesh
+    CPU path vs 2.9 s for the whole encoder); the phase-form gradients
+    run in seconds on CPU and lower cleanly on TPU too.
+
+    Args:
+      x: [N, H, W, Cin].
+      w3: [3, 3, Cin, Cout] canonical conv kernel (same params as the naive
+        path — checkpoints stay compatible).
+      bias: optional [Cout].
+
+    Returns:
+      [N, 2H, 2W, Cout], numerically identical to the naive computation.
+    """
+    return _upsample2x_conv3x3_dilated(x, w3, bias)
+
+
+def _phases_uniform(x: jax.Array, w3: jax.Array,
+                    bias: jax.Array) -> jax.Array:
+    """Phase-stack formulation with dtype-uniform convs.
+
+    Same math as :func:`upsample2x_conv3x3_phases` but without the
+    dtype-changing ``preferred_element_type`` conv — a mixed-dtype conv's
+    transpose rule emits a conv whose operands disagree (bf16 activations x
+    f32 cotangent), which ``lax.conv_general_dilated`` rejects. Used only
+    as the autodiff body of the custom VJP below.
+    """
+    n, h, w, _ = x.shape
+    cout = w3.shape[-1]
+    kf = fold_kernel_2x(w3).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kf, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    phases = []
+    for a in (0, 1):
+        for b in (0, 1):
+            p = 2 * a + b
+            phases.append(y[:, a:a + h, b:b + w,
+                            p * cout:(p + 1) * cout])
+    stacked = jnp.stack(phases, axis=3).reshape(n, h, w, 2, 2, cout)
+    out = jnp.transpose(stacked, (0, 1, 3, 2, 4, 5)).reshape(
+        n, 2 * h, 2 * w, cout)
+    return out + bias.astype(out.dtype)
+
+
+def _upconv_fwd(x, w3, bias):
+    return _upsample2x_conv3x3_dilated(x, w3, bias), (x, w3, bias)
+
+
+def _upconv_bwd(resid, dy):
+    x, w3, bias = resid
+    _, vjp = jax.vjp(
+        _phases_uniform, x, w3,
+        bias if bias is not None else jnp.zeros((w3.shape[-1],), w3.dtype))
+    dx, dw3, db = vjp(dy)
+    return dx, dw3, (db if bias is not None else None)
+
+
+upsample2x_conv3x3.defvjp(_upconv_fwd, _upconv_bwd)
 
 
 def upsample2x_conv3x3_phases(x: jax.Array, w3: jax.Array,

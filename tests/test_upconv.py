@@ -48,3 +48,53 @@ def test_folded_kernel_shape():
     for p in range(4):
         np.testing.assert_allclose(
             np.asarray(kf[..., p * 7:(p + 1) * 7].sum()), 9 * 5 * 7)
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_custom_vjp_matches_naive_autodiff(with_bias):
+    """The phase-form backward (custom VJP) must equal autodiff of the
+    naive materialized computation for dx, dw3 and db."""
+    n, h, w, cin, cout = 2, 6, 10, 3, 4
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    w3 = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32))
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    cot = jnp.asarray(rng.randn(n, 2 * h, 2 * w, cout).astype(np.float32))
+
+    if with_bias:
+        ref = jax.grad(lambda *a: jnp.sum(_naive(*a) * cot),
+                       argnums=(0, 1, 2))(x, w3, bias)
+        got = jax.grad(
+            lambda *a: jnp.sum(upsample2x_conv3x3(*a) * cot),
+            argnums=(0, 1, 2))(x, w3, bias)
+    else:
+        ref = jax.grad(lambda xx, ww: jnp.sum(_naive(xx, ww, 0.0) * cot),
+                       argnums=(0, 1))(x, w3)
+        got = jax.grad(
+            lambda xx, ww: jnp.sum(upsample2x_conv3x3(xx, ww) * cot),
+            argnums=(0, 1))(x, w3)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_custom_vjp_mixed_dtype():
+    """bf16 x/w3 with an f32 bias (the FusedUpConv training dtypes) must
+    differentiate — regression for the mixed-dtype gradient-conv TypeError."""
+    n, h, w, cin, cout = 2, 4, 4, 3, 4
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(n, h, w, cin), jnp.bfloat16)
+    w3 = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+
+    dx, dw3, db = jax.grad(
+        lambda *a: jnp.sum(upsample2x_conv3x3(*a).astype(jnp.float32)),
+        argnums=(0, 1, 2))(x, w3, bias)
+    assert dx.dtype == jnp.bfloat16 and dw3.dtype == jnp.bfloat16
+    assert db.dtype == jnp.float32
+    ref = jax.grad(
+        lambda *a: jnp.sum(_naive(*[t.astype(jnp.float32) for t in a])),
+        argnums=(0, 1, 2))(x, w3, bias)
+    for r, g in zip(ref, (dx, dw3, db)):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r), rtol=0.1, atol=0.1)
