@@ -166,6 +166,13 @@ class ModelConfig:
     #   True or "block" -> fully fused Swin block kernel
     use_pallas_attention: Optional[Union[bool, str]] = None
 
+    # Fused decoder-tail Pallas kernel (upconv+elu+outconv in VMEM,
+    # ops/pallas_decoder_tail.py). None/False = the default phase-domain
+    # XLA tail (decoder_tail_phase — fastest measured: 5.69 ms vs 6.17 ms
+    # naive vs 17.4 ms kernel at the flagship tail geometry on v5e).
+    # True -> force the Pallas kernel (recorded experiment; see PARITY.md).
+    use_pallas_decoder_tail: Optional[bool] = None
+
     @property
     def shallow_decode(self) -> int:
         return 4 - len(self.depths)

@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from strajnet_tpu.ops.pallas_decoder_tail import (decoder_tail,
+                                                  decoder_tail_phase)
+from strajnet_tpu.ops.pallas_decoder_tail import supports as _tail_supports
 from strajnet_tpu.ops.upconv import upsample2x_conv3x3
 
 Dtype = Any
@@ -189,6 +192,38 @@ class ConvLSTM2D(nn.Module):
         return jnp.stack(outs, axis=1)
 
 
+class _TailParams(nn.Module):
+    """Parameter shell matching FusedUpConv's tree (``<name>/conv/{kernel,
+    bias}``) so the fused-tail path stays checkpoint-compatible with the
+    module-based path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.in_features, name="conv")()
+
+
+def _apply_tail(x5: jax.Array, ku: jax.Array, kb: jax.Array,
+                ko: jax.Array, bo: jax.Array, dt: Dtype,
+                use_kernel: bool) -> jax.Array:
+    """Last upconv + elu + output conv of one branch, from raw params.
+
+    Default is the phase-domain XLA formulation (decoder_tail_phase) —
+    measured 5.69 ms vs 6.17 ms for the naive composition at the flagship
+    tail geometry (N=128, 128^2, 96->48->2, bf16, v5e). The Pallas kernel
+    (``use_kernel=True``) is kept selectable for the record but measured
+    17.4 ms at the same geometry (Mosaic relayout tax on the unaligned
+    slice epilogue) — see PARITY.md.
+    """
+    b, t, h, w, c = x5.shape
+    xf = x5.reshape(b * t, h, w, c).astype(dt)
+    y = (decoder_tail if use_kernel else decoder_tail_phase)(
+        xf, ku, kb, ko, bo)
+    return y.reshape(b, t, 2 * h, 2 * w, ko.shape[-1])
+
+
 class Pyramid3DDecoder(nn.Module):
     use_pyramid: bool = True
     shallow_decode: int = 1
@@ -200,6 +235,9 @@ class Pyramid3DDecoder(nn.Module):
     num_waypoints: int = 8
     bottleneck_size: Tuple[int, int] = (16, 16)
     dtype: Dtype = jnp.float32
+    # False -> XLA tail; True -> fused tail kernel; "infer" -> kernel only
+    # when deterministic (training backward stays pure XLA).
+    use_tail_kernel: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, res_list: Optional[List[jax.Array]] = None,
@@ -223,8 +261,22 @@ class Pyramid3DDecoder(nn.Module):
         reshape_dim = [self.bottleneck_size[0] * (2 ** (k + 1))
                        for k in range(len(ind_list))]
 
+        tail_mode = self.use_tail_kernel
+        if tail_mode == "infer":
+            tail_mode = deterministic
+
+        # Peel the last occ stage (always a FusedUpConv at out_dim == 2)
+        # off the loop so it can fuse with the output conv — param tree
+        # and numerics are unchanged when the kernel is off.
+        occ_inds = decode_inds
+        occ_tail_di = None
+        if self.flow_sep_decode and not (self.conv_cnn
+                                         and len(decode_inds) == 1):
+            occ_tail_di = decode_inds[-1]
+            occ_inds = decode_inds[:-1]
+
         flow_x = None
-        for i, di in enumerate(decode_inds):
+        for i, di in enumerate(occ_inds):
             if self.conv_cnn and i == 0:
                 x = _upsample2x_time(x)
                 x = ConvLSTM2D(decoder_channels[di], dtype=dt,
@@ -258,25 +310,50 @@ class Pyramid3DDecoder(nn.Module):
                                           name="resconv_f")(fr)
 
         out_dim = 2 if self.flow_sep_decode else 4
-        b, _, h, w, c = x.shape
-        y = nn.Conv(out_dim, (3, 3), padding="SAME", kernel_init=dense_init,
-                    dtype=dt, name="outconv")(x.reshape(b * t, h, w, c))
-        y = y.reshape(b, t, h, w, out_dim)
+        if occ_tail_di is not None:
+            feat = decoder_channels[occ_tail_di]
+            _, _, hh, ww, cc = x.shape
+            ku, kb = _TailParams(feat, cc, name=f"upconv_{occ_tail_di}_0")()
+            ko, bo = _ConvParams(out_dim, feat, name="outconv")()
+            use_k = bool(tail_mode) and _tail_supports(hh, ww, cc, feat,
+                                                       out_dim)
+            y = _apply_tail(x, ku, kb, ko, bo, dt, use_k)
+        else:
+            b, _, h, w, c = x.shape
+            y = nn.Conv(out_dim, (3, 3), padding="SAME",
+                        kernel_init=dense_init, dtype=dt, name="outconv")(
+                            x.reshape(b * t, h, w, c))
+            y = y.reshape(b, t, h, w, out_dim)
 
         if self.flow_sep_decode:
             f = flow_x
-            for j, di in enumerate(decode_inds[-2:]):
+            fl_inds = list(decode_inds[-2:])
+            flow_tail_di = None
+            if not (self.sep_conv and len(fl_inds) == 1):
+                flow_tail_di = fl_inds[-1]
+                fl_inds = fl_inds[:-1]
+            for j, di in enumerate(fl_inds):
                 if self.sep_conv and j == 0:
                     f = _upsample2x_time(f)
                     f = ConvLSTM2D(96, dtype=dt, name=f"upconvf_{di}_0")(f)
                 else:
                     f = FusedUpConv(decoder_channels[di], dtype=dt,
                                     name=f"upconvf_{di}_0")(f)
-            bf, _, hf, wf, cf = f.shape
-            fo = nn.Conv(2, (3, 3), padding="SAME", kernel_init=dense_init,
-                         dtype=dt, name="outconv_f")(
-                             f.reshape(bf * t, hf, wf, cf))
-            fo = fo.reshape(bf, t, hf, wf, 2)
+            if flow_tail_di is not None:
+                featf = decoder_channels[flow_tail_di]
+                _, _, hf, wf, cf = f.shape
+                ku2, kb2 = _TailParams(featf, cf,
+                                       name=f"upconvf_{flow_tail_di}_0")()
+                ko2, bo2 = _ConvParams(2, featf, name="outconv_f")()
+                use_k2 = bool(tail_mode) and _tail_supports(hf, wf, cf,
+                                                            featf, 2)
+                fo = _apply_tail(f, ku2, kb2, ko2, bo2, dt, use_k2)
+            else:
+                bf, _, hf, wf, cf = f.shape
+                fo = nn.Conv(2, (3, 3), padding="SAME",
+                             kernel_init=dense_init, dtype=dt,
+                             name="outconv_f")(f.reshape(bf * t, hf, wf, cf))
+                fo = fo.reshape(bf, t, hf, wf, 2)
             y = jnp.concatenate([y, fo], axis=-1)
 
         return y

@@ -92,12 +92,20 @@ class STrajNet(nn.Module):
             num_waypoints=t, map_points=cfg.map_points, dtype=dt,
             name="trajnet_attn")(query, obs, occ, mapt, deterministic)
 
+        # None = auto: the phase-domain XLA tail (the decoder's default,
+        # measured fastest on the v5e). True forces the Pallas tail kernel
+        # — kept selectable as a recorded experiment, measured ~3x slower
+        # than the phase form at the flagship geometry (PARITY.md).
+        use_tail = cfg.use_pallas_decoder_tail
+        if use_tail is None:
+            use_tail = False
+
         y = Pyramid3DDecoder(
             use_pyramid=cfg.use_pyramid, shallow_decode=cfg.shallow_decode,
             flow_sep_decode=cfg.flow_sep_decode, conv_cnn=cfg.conv_cnn,
             sep_conv=cfg.sep_conv,
             rep_res=cfg.rep_res, stp_grad=cfg.stp_grad, num_waypoints=t,
-            bottleneck_size=(bh, bw), dtype=dt,
+            bottleneck_size=(bh, bw), dtype=dt, use_tail_kernel=use_tail,
             name="decoder")(obs_value, res_list, deterministic)
 
         # [B, T, H, W, 4] -> waypoint-major channels [B, H, W, T*4]

@@ -1,0 +1,130 @@
+"""TPU probe: bisect the attn-mode training worker crash.
+
+Usage: python -u tools/probe_crash_bisect.py <part> [batch]
+  part: enc | encfg | model | modelloss | step
+Each part jits grad-wrt-params of a scalar loss (grads reduced to one
+scalar inside the program so the remote-compile payload stays small).
+Run parts in separate processes — a worker crash kills the client.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+part = sys.argv[1]
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+import dataclasses
+
+from strajnet_tpu.config import STRAJNET_CONFIG
+
+cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention="attn")
+print(f"backend={jax.default_backend()} part={part} batch={B}", flush=True)
+
+dt = jnp.bfloat16
+
+
+def gsum(g):
+    return sum(jnp.sum(x.astype(jnp.float32) ** 2)
+               for x in jax.tree_util.tree_leaves(g))
+
+
+if part in ("enc", "encfg"):
+    from strajnet_tpu.models.swin import SwinTransformerEncoder
+    import numpy as np
+
+    enc = SwinTransformerEncoder(
+        img_size=cfg.input_size, patch_size=(cfg.patch_size, cfg.patch_size),
+        embed_dim=cfg.embed_dim, depths=cfg.depths, num_heads=cfg.num_heads,
+        window_size=cfg.window_size, mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias, drop_rate=cfg.drop_rate,
+        attn_drop_rate=cfg.attn_drop_rate,
+        drop_path_rate=cfg.drop_path_rate, ape=cfg.ape,
+        patch_norm=cfg.patch_norm, sep_encode=cfg.sep_encode,
+        no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
+        large_input=cfg.large_input,
+        use_pallas=cfg.use_pallas_attention, dtype=dt)
+    rng = np.random.RandomState(0)
+    h, w = cfg.input_size
+    mh, mw = cfg.map_size
+    ogm = jnp.asarray(
+        rng.rand(B, h, w, cfg.ogm_past_steps, cfg.ogm_classes) > 0.5,
+        jnp.float32)
+    flow = jnp.asarray(rng.randn(B, h, w, 2), jnp.float32)
+    mp = jnp.asarray(rng.rand(B, mh, mw, 3), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), ogm, mp, flow, True)
+
+    @jax.jit
+    def run(params):
+        def loss(p):
+            outs = enc.apply(p, ogm, mp, flow, False,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return gsum(jax.grad(loss)(params))
+
+    t0 = time.perf_counter()
+    print("enc grad ok:", float(run(params)),
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+
+elif part in ("model", "modelloss", "step"):
+    from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+
+    model = STrajNet(cfg=cfg)
+    inputs = dummy_inputs(cfg, batch=B, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), **inputs)
+
+    if part == "model":
+        @jax.jit
+        def run(params):
+            def loss(p):
+                y = model.apply(p, **dict(inputs, training=True),
+                                rngs={"dropout": jax.random.PRNGKey(1)})
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            return gsum(jax.grad(loss)(params))
+
+        t0 = time.perf_counter()
+        print("model grad ok:", float(run(params)),
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        from strajnet_tpu.config import LossConfig, TaskConfig
+        from strajnet_tpu.data.synthetic import synthetic_batch
+        from strajnet_tpu.objective.loss import (OGMFlowLoss,
+                                                 split_pred_waypoints,
+                                                 true_waypoints_from_batch)
+
+        task = TaskConfig(grid_height_cells=cfg.output_size[0],
+                          grid_width_cells=cfg.output_size[1],
+                          num_waypoints=cfg.num_waypoints)
+        loss_fn = OGMFlowLoss(task, LossConfig())
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_batch(cfg, B, seed=0).items()}
+
+        @jax.jit
+        def run(params):
+            tw = true_waypoints_from_batch(batch)
+
+            def loss(p):
+                outputs = model.apply(
+                    p, ogm=batch["ogm"], map_img=batch["map_image"],
+                    obs=batch["actors"], occ=batch["occl_actors"],
+                    mapt=batch["centerlines"], flow=batch["vec_flow"],
+                    training=True, rngs={"dropout": jax.random.PRNGKey(1)})
+                logits = split_pred_waypoints(outputs, cfg.num_waypoints)
+                d = loss_fn(tw, logits)
+                return (d["observed_xe"] + d["occluded_xe"] + d["flow"] +
+                        d["flow_warp_xe"])
+            return gsum(jax.grad(loss)(params))
+
+        t0 = time.perf_counter()
+        print("modelloss grad ok:", float(run(params)),
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+print("OK", flush=True)

@@ -1,0 +1,60 @@
+"""TPU probe: one flagship train step, parameterized by Pallas mode/batch.
+
+Usage: python -u tools/probe_train_tpu.py <mode> <batch>
+  mode: attn | block | none   (use_pallas_attention)
+Mirrors bench.bench_training exactly (donate+accumulate step, synthetic
+batch) so a pass here predicts a green bench training phase.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+mode_arg = sys.argv[1] if len(sys.argv) > 1 else "attn"
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+mode = {"attn": "attn", "block": "block", "none": False}[mode_arg]
+
+import dataclasses
+
+from strajnet_tpu.config import (LossConfig, STRAJNET_CONFIG, TaskConfig,
+                                 TrainConfig)
+from strajnet_tpu.data.synthetic import synthetic_batch
+from strajnet_tpu.train.state import create_train_state
+from strajnet_tpu.train.step import make_train_step, zero_loss_sums
+
+cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode)
+print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch}",
+      flush=True)
+
+task = TaskConfig(grid_height_cells=cfg.output_size[0],
+                  grid_width_cells=cfg.output_size[1],
+                  num_waypoints=cfg.num_waypoints)
+state = create_train_state(cfg, TrainConfig(use_schedule=True))
+step = make_train_step(task, LossConfig(), cfg.num_waypoints,
+                       donate=True, accumulate=True)
+b = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, batch, seed=0).items()}
+rng = jax.random.PRNGKey(0)
+
+t0 = time.perf_counter()
+st, sm = step(state, b, rng, zero_loss_sums())
+tot = float(sm["total"])
+print(f"compile+first: {time.perf_counter()-t0:.1f}s loss={tot:.3f}",
+      flush=True)
+
+t0 = time.perf_counter()
+N = 10
+for _ in range(N):
+    st, sm = step(st, b, rng, sm)
+float(sm["total"])
+dt = (time.perf_counter() - t0) / N
+print(f"{dt*1e3:.1f} ms/step ({batch*1.0/dt:.1f} scenes/s)", flush=True)
+print("OK", flush=True)
