@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -166,12 +166,12 @@ class ModelConfig:
     #   True or "block" -> fully fused Swin block kernel
     use_pallas_attention: Optional[Union[bool, str]] = None
 
-    # Fused decoder-tail Pallas kernel (upconv+elu+outconv in VMEM,
-    # ops/pallas_decoder_tail.py). None/False = the default phase-domain
-    # XLA tail (decoder_tail_phase — fastest measured: 5.69 ms vs 6.17 ms
-    # naive vs 17.4 ms kernel at the flagship tail geometry on v5e).
-    # True -> force the Pallas kernel (recorded experiment; see PARITY.md).
-    use_pallas_decoder_tail: Optional[bool] = None
+    # Decoder-tail formulation (ops/pallas_decoder_tail.py). None/False =
+    # the naive XLA composition — fastest IN-MODEL on v5e. "phase" = the
+    # offset-grid form (wins isolated, loses ~7 ms/batch in-model).
+    # True = the Pallas kernel (17.4 ms isolated; recorded negative).
+    # All three are mathematically identical; see PARITY.md.
+    use_pallas_decoder_tail: Any = None
 
     @property
     def shallow_decode(self) -> int:

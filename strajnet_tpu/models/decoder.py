@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from strajnet_tpu.ops.pallas_decoder_tail import (decoder_tail,
-                                                  decoder_tail_phase)
+                                                  decoder_tail_phase,
+                                                  decoder_tail_xla)
 from strajnet_tpu.ops.pallas_decoder_tail import supports as _tail_supports
 from strajnet_tpu.ops.upconv import upsample2x_conv3x3
 
@@ -205,22 +206,27 @@ class _TailParams(nn.Module):
         return _ConvParams(self.features, self.in_features, name="conv")()
 
 
+_TAIL_FNS = {
+    False: decoder_tail_xla, None: decoder_tail_xla, "xla": decoder_tail_xla,
+    "phase": decoder_tail_phase,
+    True: decoder_tail, "kernel": decoder_tail,
+}
+
+
 def _apply_tail(x5: jax.Array, ku: jax.Array, kb: jax.Array,
                 ko: jax.Array, bo: jax.Array, dt: Dtype,
-                use_kernel: bool) -> jax.Array:
+                mode) -> jax.Array:
     """Last upconv + elu + output conv of one branch, from raw params.
 
-    Default is the phase-domain XLA formulation (decoder_tail_phase) —
-    measured 5.69 ms vs 6.17 ms for the naive composition at the flagship
-    tail geometry (N=128, 128^2, 96->48->2, bf16, v5e). The Pallas kernel
-    (``use_kernel=True``) is kept selectable for the record but measured
-    17.4 ms at the same geometry (Mosaic relayout tax on the unaligned
-    slice epilogue) — see PARITY.md.
-    """
+    ``mode`` selects the formulation (all mathematically identical, see
+    ops/pallas_decoder_tail.py): False/"xla" the naive composition (the
+    default — fastest IN-MODEL), "phase" the offset-grid form (wins
+    isolated, 5.69 vs 6.17 ms, but regressed the full forward ~7 ms/batch
+    on v5e — PARITY.md), True/"kernel" the Pallas kernel (measured 17.4 ms
+    isolated; recorded negative)."""
     b, t, h, w, c = x5.shape
     xf = x5.reshape(b * t, h, w, c).astype(dt)
-    y = (decoder_tail if use_kernel else decoder_tail_phase)(
-        xf, ku, kb, ko, bo)
+    y = _TAIL_FNS[mode](xf, ku, kb, ko, bo)
     return y.reshape(b, t, 2 * h, 2 * w, ko.shape[-1])
 
 
@@ -235,8 +241,9 @@ class Pyramid3DDecoder(nn.Module):
     num_waypoints: int = 8
     bottleneck_size: Tuple[int, int] = (16, 16)
     dtype: Dtype = jnp.float32
-    # False -> XLA tail; True -> fused tail kernel; "infer" -> kernel only
-    # when deterministic (training backward stays pure XLA).
+    # Tail formulation: False/"xla" naive composition (default),
+    # "phase" offset-grid form, True/"kernel" Pallas kernel, "infer" ->
+    # kernel only when deterministic. See _apply_tail.
     use_tail_kernel: Any = False
 
     @nn.compact
@@ -315,9 +322,11 @@ class Pyramid3DDecoder(nn.Module):
             _, _, hh, ww, cc = x.shape
             ku, kb = _TailParams(feat, cc, name=f"upconv_{occ_tail_di}_0")()
             ko, bo = _ConvParams(out_dim, feat, name="outconv")()
-            use_k = bool(tail_mode) and _tail_supports(hh, ww, cc, feat,
-                                                       out_dim)
-            y = _apply_tail(x, ku, kb, ko, bo, dt, use_k)
+            mode = tail_mode
+            if mode in (True, "kernel") and not _tail_supports(
+                    hh, ww, cc, feat, out_dim):
+                mode = False
+            y = _apply_tail(x, ku, kb, ko, bo, dt, mode)
         else:
             b, _, h, w, c = x.shape
             y = nn.Conv(out_dim, (3, 3), padding="SAME",
@@ -345,9 +354,11 @@ class Pyramid3DDecoder(nn.Module):
                 ku2, kb2 = _TailParams(featf, cf,
                                        name=f"upconvf_{flow_tail_di}_0")()
                 ko2, bo2 = _ConvParams(2, featf, name="outconv_f")()
-                use_k2 = bool(tail_mode) and _tail_supports(hf, wf, cf,
-                                                            featf, 2)
-                fo = _apply_tail(f, ku2, kb2, ko2, bo2, dt, use_k2)
+                mode2 = tail_mode
+                if mode2 in (True, "kernel") and not _tail_supports(
+                        hf, wf, cf, featf, 2):
+                    mode2 = False
+                fo = _apply_tail(f, ku2, kb2, ko2, bo2, dt, mode2)
             else:
                 bf, _, hf, wf, cf = f.shape
                 fo = nn.Conv(2, (3, 3), padding="SAME",

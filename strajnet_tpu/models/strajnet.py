@@ -92,10 +92,9 @@ class STrajNet(nn.Module):
             num_waypoints=t, map_points=cfg.map_points, dtype=dt,
             name="trajnet_attn")(query, obs, occ, mapt, deterministic)
 
-        # None = auto: the phase-domain XLA tail (the decoder's default,
-        # measured fastest on the v5e). True forces the Pallas tail kernel
-        # — kept selectable as a recorded experiment, measured ~3x slower
-        # than the phase form at the flagship geometry (PARITY.md).
+        # None = auto: the naive XLA tail (fastest in-model on v5e). The
+        # "phase" offset-grid form and the Pallas kernel stay selectable
+        # as recorded experiments (PARITY.md).
         use_tail = cfg.use_pallas_decoder_tail
         if use_tail is None:
             use_tail = False

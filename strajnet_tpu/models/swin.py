@@ -29,7 +29,7 @@ import numpy as np
 
 from strajnet_tpu.ops.windows import (
     relative_position_index,
-    shifted_window_mask,
+    shifted_window_mask_jnp,
     window_partition,
     window_reverse,
 )
@@ -262,7 +262,7 @@ class SwinTransformerBlock(nn.Module):
         b, l, c = x.shape
         assert l == h * w, f"wrong token count {l} != {h}x{w}"
 
-        mask = (shifted_window_mask(h, w, window_size, shift_size)
+        mask = (shifted_window_mask_jnp(h, w, window_size, shift_size)
                 if shift_size > 0 else None)
         attn_mod = WindowAttention(
             dim=self.dim, window_size=(window_size, window_size),

@@ -212,13 +212,20 @@ def _relbig(rel_bias, n_win):
 
 def _maskbig(mask, n_win_h, n_win_w, n):
     """[n_windows, n, n] SW-MSA mask -> [n_win_h, N, N] bf16 block-diagonal
-    per row strip (mask values {0, -100} are exact in bf16)."""
-    m = mask.reshape(n_win_h, n_win_w, n, n)
-    eye = jnp.eye(n_win_w, dtype=mask.dtype)[None, :, None, :, None]
-    big = eye * m[:, :, :, None, :]
-    big = jnp.transpose(big, (0, 1, 2, 3, 4)).reshape(
-        n_win_h, n_win_w * n, n_win_w * n)
-    return big.astype(jnp.bfloat16)
+    per row strip (mask values {0, -100} are exact in bf16).
+
+    Built as one fused tile + iota-select: big[h, p, q] = m[h, p//n, p%n,
+    q%n] on the block diagonal (p//n == q//n), 0 off it. The earlier
+    eye-broadcast formulation materialized a [nh, nw, n, nw, n] f32
+    intermediate — 268 MB at the flagship stage-0 geometry — inside every
+    program containing the kernel."""
+    nh, nw = n_win_h, n_win_w
+    big_n = nw * n
+    m = mask.reshape(nh, nw, n, n).astype(jnp.bfloat16)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (big_n, big_n), 0) // n
+    wj = jax.lax.broadcasted_iota(jnp.int32, (big_n, big_n), 1) // n
+    vals = jnp.tile(m.reshape(nh, big_n, n), (1, 1, nw))
+    return jnp.where((wi == wj)[None], vals, jnp.bfloat16(0))
 
 
 @functools.lru_cache(maxsize=None)

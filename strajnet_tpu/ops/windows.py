@@ -1,9 +1,13 @@
 """Window partition/merge + shifted-window attention masks.
 
 Functional equivalents of the reference's reshape/transpose helpers
-(reference modules.py:49-63) and the numpy-built SW-MSA additive mask
-(modules.py:189-218). The mask is computed with numpy at trace time — it is
-static per (resolution, window, shift) and becomes an XLA constant.
+(reference modules.py:49-63) and the SW-MSA additive mask
+(modules.py:189-218). ``shifted_window_mask`` builds the mask with numpy
+(host constant, used by tests); the model uses ``shifted_window_mask_jnp``,
+which emits the identical values as a handful of iota ops — the stage-0
+mask is a [256, 64, 64] f32 tensor that, as a literal, put 4.2 MB into
+every program containing it (twice for fwd+bwd, overflowing the axon
+remote-compile payload cap for encoder training programs).
 """
 
 from __future__ import annotations
@@ -57,6 +61,28 @@ def shifted_window_mask(height: int, width: int, window_size: int,
     m = m.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
     diff = m[:, None, :] - m[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def shifted_window_mask_jnp(height: int, width: int, window_size: int,
+                            shift_size: int) -> jax.Array:
+    """On-device SW-MSA mask, value-identical to :func:`shifted_window_mask`.
+
+    Built from iotas so it enters the program as a few hundred bytes of ops
+    instead of an [nW, ws^2, ws^2] f32 literal (equivalence pinned by
+    tests/test_windows.py)."""
+    ws, ss = window_size, shift_size
+
+    def cat(n: int) -> jax.Array:
+        i = jnp.arange(n)
+        return ((i >= n - ws).astype(jnp.int32)
+                + (i >= n - ss).astype(jnp.int32))
+
+    lab = 3 * cat(height)[:, None] + cat(width)[None, :]       # [H, W]
+    nh, nw = height // ws, width // ws
+    m = lab.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3).reshape(
+        nh * nw, ws * ws)
+    diff = m[:, None, :] != m[:, :, None]
+    return jnp.where(diff, jnp.float32(-100.0), jnp.float32(0.0))
 
 
 @functools.lru_cache(maxsize=None)

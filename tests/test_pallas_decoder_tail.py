@@ -137,9 +137,10 @@ def test_tail_gradients_route_through_xla():
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_decoder_tail_flag_parity_and_param_tree():
-    """Pyramid3DDecoder with the kernel on must match the XLA tail and
-    keep a bit-identical parameter tree."""
+@pytest.mark.parametrize("mode", [True, "phase"])
+def test_decoder_tail_flag_parity_and_param_tree(mode):
+    """Pyramid3DDecoder with each alternate tail formulation must match
+    the default XLA tail and keep a bit-identical parameter tree."""
     from strajnet_tpu.models.decoder import Pyramid3DDecoder
 
     b, t, bott, e = 1, 8, 4, 48
@@ -156,7 +157,7 @@ def test_decoder_tail_flag_parity_and_param_tree():
     kw = dict(shallow_decode=1, flow_sep_decode=True, num_waypoints=t,
               bottleneck_size=(bott, bott), dtype=jnp.float32)
     dec_off = Pyramid3DDecoder(use_tail_kernel=False, **kw)
-    dec_on = Pyramid3DDecoder(use_tail_kernel=True, **kw)
+    dec_on = Pyramid3DDecoder(use_tail_kernel=mode, **kw)
 
     v_off = dec_off.init(jax.random.PRNGKey(0), x, res)
     v_on = dec_on.init(jax.random.PRNGKey(0), x, res)
