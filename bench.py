@@ -129,8 +129,9 @@ def _child(phase: str):
     from strajnet_tpu.config import STRAJNET_CONFIG
 
     # None = auto kernel selection: fused block kernel for inference,
-    # attention-only kernel (custom_vjp) for training — the same defaults
-    # the training/inference CLIs resolve to on TPU.
+    # plain XLA for training (the kernel backwards crash the TPU worker at
+    # batch 16 — see models/strajnet.py) — the same defaults the
+    # training/inference CLIs resolve to on TPU.
     cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=None)
     if phase == "inference":
         scenes_per_sec, mfu = bench_inference(cfg)

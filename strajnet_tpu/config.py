@@ -159,8 +159,10 @@ class ModelConfig:
     dtype: str = "bfloat16"
 
     # Fused Pallas kernel mode (identical math; custom-VJP backward
-    # kernels on the training path). None = auto: "block" for TPU
-    # backends, off elsewhere (the CPU fallback would run interpreted).
+    # kernels on the training path). None = auto: on TPU, "block" at
+    # inference and pure XLA for training (the kernel backwards crash the
+    # TPU worker at train batch 16 — see models/strajnet.py); off
+    # elsewhere (the CPU fallback would run interpreted).
     #   False    -> pure-XLA path
     #   "attn"   -> fused window-attention kernel only (LN/MLP in XLA)
     #   True or "block" -> fully fused Swin block kernel

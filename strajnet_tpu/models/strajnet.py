@@ -39,14 +39,18 @@ class STrajNet(nn.Module):
         bd = cfg.bottleneck_dim
 
         # None = auto on TPU backends (the CPU fallback would run
-        # interpreted): the fully fused block kernel for inference; the
-        # attention-only kernel for training until the block backward is
-        # TPU-proven at flagship geometry (its fwd is bench-verified, its
-        # bwd crashed the TPU worker at 128^2 strips — round-3 finding).
+        # interpreted): the fully fused block kernel for inference; plain
+        # XLA for training — the full train step with EITHER kernel's
+        # backward crashes the TPU worker at batch 16 (batch 8 + every
+        # standalone batch-16 kernel fwd+bwd pass; not an HBM OOM — the
+        # XLA-only step uses MORE memory and runs). Suspected
+        # placement-dependent OOB in a kernel; tools/probe_train_tpu.py +
+        # probe_attn_chain_tpu.py reproduce/bisect. Opt in explicitly with
+        # use_pallas_attention="attn"|"block" (verified safe at batch<=8).
         use_pallas = cfg.use_pallas_attention
         if use_pallas is None:
             if jax.default_backend() == "tpu":
-                use_pallas = "block" if deterministic else "attn"
+                use_pallas = "block" if deterministic else False
             else:
                 use_pallas = False
 
