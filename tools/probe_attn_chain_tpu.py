@@ -4,9 +4,13 @@ roll for odd blocks) without Flax — a minimal reproducer for the full-step
 worker crash that stays under the remote-compile payload cap.
 
 Usage: python -u tools/probe_attn_chain_tpu.py <nstages> <blocks_per_stage>
-       [batch]
+       [batch] [filler_gb] [droppath]
 Stages use the flagship geometries (128^2/96/3h -> 64^2/192/6h ->
 32^2/384/12h) with PatchMerging-style downsampling between them.
+filler_gb > 0 pins a dummy HBM allocation first, pushing the program's
+buffers toward the end of HBM (tests the placement-dependent-OOB theory
+for the full-step worker crash). droppath=1 adds per-sample keep masks
+after attn/mlp like training does.
 """
 import os
 import sys
@@ -29,10 +33,20 @@ from strajnet_tpu.ops.windows import shifted_window_mask_jnp
 NSTAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 NBLOCKS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+FILLER_GB = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+DROPPATH = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 WS = 8
 STAGES = [(128, 96, 3), (64, 192, 6), (32, 384, 12)][:NSTAGES]
 print(f"backend={jax.default_backend()} stages={NSTAGES} "
-      f"blocks={NBLOCKS} batch={B}", flush=True)
+      f"blocks={NBLOCKS} batch={B} filler={FILLER_GB}GB dp={DROPPATH}",
+      flush=True)
+
+filler = None
+if FILLER_GB > 0:
+    n = int(FILLER_GB * (1 << 30) // 4)
+    filler = jax.device_put(jnp.ones((n,), jnp.float32))
+    filler.block_until_ready()
+    print("filler pinned:", float(filler[0]), flush=True)
 
 rng = np.random.RandomState(0)
 
@@ -87,11 +101,19 @@ def forward(params, x):
                 p["rel"], mask, window_size=WS, num_heads=heads)
             if shift:
                 a = jnp.roll(a, (shift, shift), axis=(1, 2))
+            if DROPPATH:
+                keep = jnp.asarray(
+                    rng.rand(B) > 0.1, jnp.float32)[:, None, None, None]
+                a = a * keep.astype(a.dtype) / 0.9
             x = x + a.astype(x.dtype)
             m = ln(x.astype(jnp.float32), p["ln2s"], p["ln2b"]).astype(bf)
             m = jnp.dot(m.reshape(-1, c), p["w1"].astype(bf))
             m = jax.nn.gelu(m, approximate=True)
             m = jnp.dot(m, p["w2"].astype(bf)).reshape(x.shape)
+            if DROPPATH:
+                keep = jnp.asarray(
+                    rng.rand(B) > 0.1, jnp.float32)[:, None, None, None]
+                m = m * keep.astype(m.dtype) / 0.9
             x = x + m.astype(x.dtype)
         if merge is not None:
             b_, hh, ww, cc = x.shape

@@ -2,8 +2,10 @@
 
 Usage: python -u tools/probe_crash_bisect.py <part> [batch]
   part: enc | encfg | model | modelloss | step
-Each part jits grad-wrt-params of a scalar loss (grads reduced to one
-scalar inside the program so the remote-compile payload stays small).
+Each part jits grad-wrt-params of a scalar loss. Inputs are passed as jit
+ARGUMENTS, never closed over: closed-over concrete arrays lower as inline
+stablehlo constants, and a 369 MB random OGM literal overflows the axon
+remote-compile payload cap (HTTP 413) regardless of program size.
 Run parts in separate processes — a worker crash kills the client.
 """
 import os
@@ -64,7 +66,7 @@ if part in ("enc", "encfg"):
     params = enc.init(jax.random.PRNGKey(0), ogm, mp, flow, True)
 
     @jax.jit
-    def run(params):
+    def run(params, ogm, mp, flow):
         def loss(p):
             outs = enc.apply(p, ogm, mp, flow, False,
                              rngs={"dropout": jax.random.PRNGKey(1)})
@@ -72,7 +74,7 @@ if part in ("enc", "encfg"):
         return gsum(jax.grad(loss)(params))
 
     t0 = time.perf_counter()
-    print("enc grad ok:", float(run(params)),
+    print("enc grad ok:", float(run(params, ogm, mp, flow)),
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
 elif part in ("model", "modelloss", "step"):
@@ -84,7 +86,7 @@ elif part in ("model", "modelloss", "step"):
 
     if part == "model":
         @jax.jit
-        def run(params):
+        def run(params, inputs):
             def loss(p):
                 y = model.apply(p, **dict(inputs, training=True),
                                 rngs={"dropout": jax.random.PRNGKey(1)})
@@ -92,7 +94,7 @@ elif part in ("model", "modelloss", "step"):
             return gsum(jax.grad(loss)(params))
 
         t0 = time.perf_counter()
-        print("model grad ok:", float(run(params)),
+        print("model grad ok:", float(run(params, inputs)),
               f"{time.perf_counter()-t0:.1f}s", flush=True)
     else:
         from strajnet_tpu.config import LossConfig, TaskConfig
@@ -109,7 +111,7 @@ elif part in ("model", "modelloss", "step"):
                  for k, v in synthetic_batch(cfg, B, seed=0).items()}
 
         @jax.jit
-        def run(params):
+        def run(params, batch):
             tw = true_waypoints_from_batch(batch)
 
             def loss(p):
@@ -125,6 +127,6 @@ elif part in ("model", "modelloss", "step"):
             return gsum(jax.grad(loss)(params))
 
         t0 = time.perf_counter()
-        print("modelloss grad ok:", float(run(params)),
+        print("modelloss grad ok:", float(run(params, batch)),
               f"{time.perf_counter()-t0:.1f}s", flush=True)
 print("OK", flush=True)
