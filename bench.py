@@ -39,8 +39,12 @@ A100_REFERENCE_SCENES_PER_SEC = 293.0
 V5E_PEAK_FLOPS = 197e12
 
 BATCH = 16
-# Reference's checked-in training default (train.py:51); measured better
-# per-scene than batch 8 on the v5e (73 vs 63 scenes/s).
+# Reference's checked-in training default (train.py:51); also measured
+# better per-scene than batch 8 on the v5e with the current default
+# training path (XLA attention: 61.8 scenes/s at batch 16 vs the
+# fused-attention kernel's 45.5 at batch 8 — the kernel backward is
+# unusable at batch 16 until the worker-crash bug is pinned, see
+# models/strajnet.py).
 TRAIN_BATCH = 16
 WARMUP = 3
 ITERS = 20
