@@ -168,6 +168,13 @@ class ModelConfig:
     #   True or "block" -> fully fused Swin block kernel
     use_pallas_attention: Optional[Union[bool, str]] = None
 
+    # Rematerialize encoder Swin blocks in the backward (jax.checkpoint /
+    # nn.remat): recompute each block's forward instead of storing its
+    # LN/attention/MLP intermediates — trades ~1 extra forward of FLOPs
+    # for several GB of HBM temps at the flagship train geometry, buying
+    # headroom for larger batches.
+    remat_encoder: bool = False
+
     # Decoder-tail formulation (ops/pallas_decoder_tail.py). None/False =
     # the naive XLA composition — fastest IN-MODEL on v5e. "phase" = the
     # offset-grid form (wins isolated, loses ~7 ms/batch in-model).

@@ -65,7 +65,7 @@ class STrajNet(nn.Module):
             patch_norm=cfg.patch_norm, sep_encode=cfg.sep_encode,
             no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
             large_input=cfg.large_input,
-            use_pallas=use_pallas, dtype=dt,
+            use_pallas=use_pallas, remat=cfg.remat_encoder, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)
 
         q = res_list[-1]  # [B, bh*bw, bd]

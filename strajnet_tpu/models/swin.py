@@ -423,14 +423,21 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = (0.0,)
     downsample: bool = False
     use_pallas: Union[bool, str] = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
+        # remat: recompute each block's forward during the backward instead
+        # of saving its LN/attention/MLP intermediates — the classic
+        # FLOPs-for-HBM trade (the flagship 512^2 train step at batch 16
+        # carries ~14 GB of temps; the encoder blocks are the bulk).
+        block_cls = (nn.remat(SwinTransformerBlock, static_argnums=(2,))
+                     if self.remat else SwinTransformerBlock)
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)
-            x = SwinTransformerBlock(
+            x = block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
@@ -547,6 +554,7 @@ class SwinTransformerEncoder(nn.Module):
     use_flow: bool = True
     large_input: bool = True
     use_pallas: Union[bool, str] = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -570,7 +578,7 @@ class SwinTransformerEncoder(nn.Module):
                 drop_path=tuple(dpr[sum(self.depths[:i]):
                                     sum(self.depths[:i + 1])]),
                 downsample=downsample, use_pallas=self.use_pallas,
-                dtype=dt, name=name)
+                remat=self.remat, dtype=dt, name=name)
 
         ogm = ogm.astype(dt)
         map_img = map_img.astype(dt)

@@ -221,16 +221,22 @@ def main():
                    help="Pallas kernel mode (off = pure XLA escape hatch; "
                         "attn = fused window attention only; block = fully "
                         "fused Swin block)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder blocks in the backward "
+                        "(trades one extra forward of FLOPs for several GB "
+                        "of activation memory — enables larger batches)")
     args = p.parse_args()
 
     model_cfg = STRAJNET_CONFIG
     if args.no_fg_msa:
         from strajnet_tpu.config import STRAJNET_TRAIN_PY_CONFIG
         model_cfg = STRAJNET_TRAIN_PY_CONFIG
+    import dataclasses as _dc
     if args.pallas != "auto":
-        import dataclasses as _dc
         mode = {"off": False, "attn": "attn", "block": "block"}[args.pallas]
         model_cfg = _dc.replace(model_cfg, use_pallas_attention=mode)
+    if args.remat:
+        model_cfg = _dc.replace(model_cfg, remat_encoder=True)
 
     train_cfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
                             lr=args.lr, use_schedule=not args.constant_lr,

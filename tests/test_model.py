@@ -152,3 +152,34 @@ def test_dropout_rng_paths_in_training_mode(model_and_params):
     # dropout actually fires (drop_path_rate > 0 in tiny cfg? drop=0 but
     # drop_path=0.1 and attention dropout 0.1 in trajnet) -> different outputs
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_remat_encoder_identical_outputs_and_grads(model_and_params):
+    """remat_encoder changes memory behavior only: same params tree, same
+    forward, same gradients (jax.checkpoint recomputes, never re-derives)."""
+    import dataclasses
+
+    model, params = model_and_params
+    rcfg = dataclasses.replace(CFG, remat_encoder=True)
+    rmodel = STrajNet(cfg=rcfg)
+    inputs = dummy_inputs(CFG, batch=2)
+
+    rparams = rmodel.init(jax.random.PRNGKey(0), **inputs)
+    assert (jax.tree_util.tree_structure(rparams)
+            == jax.tree_util.tree_structure(params))
+
+    y = model.apply(params, **inputs)
+    ry = rmodel.apply(params, **inputs)
+    np.testing.assert_array_equal(np.asarray(ry), np.asarray(y))
+
+    def loss(m, p):
+        out = m.apply(p, **dict(inputs, training=True),
+                      rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(lambda p: loss(model, p))(params)
+    rg = jax.grad(lambda p: loss(rmodel, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(rg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
