@@ -23,10 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from strajnet_tpu.ops.pallas_decoder_tail import (decoder_tail,
-                                                  decoder_tail_phase,
-                                                  decoder_tail_xla)
-from strajnet_tpu.ops.pallas_decoder_tail import supports as _tail_supports
 from strajnet_tpu.ops.upconv import upsample2x_conv3x3
 
 Dtype = Any
@@ -206,11 +202,24 @@ class _TailParams(nn.Module):
         return _ConvParams(self.features, self.in_features, name="conv")()
 
 
-_TAIL_FNS = {
-    False: decoder_tail_xla, None: decoder_tail_xla, "xla": decoder_tail_xla,
-    "phase": decoder_tail_phase,
-    True: decoder_tail, "kernel": decoder_tail,
-}
+def _tail_fn(mode):
+    # Lazy import: keep Mosaic/pallas machinery off the import path of
+    # CPU-only runs (same convention as models/swin.py's kernel branches).
+    from strajnet_tpu.ops.pallas_decoder_tail import (decoder_tail,
+                                                      decoder_tail_phase,
+                                                      decoder_tail_xla)
+
+    return {
+        False: decoder_tail_xla, None: decoder_tail_xla,
+        "xla": decoder_tail_xla, "phase": decoder_tail_phase,
+        True: decoder_tail, "kernel": decoder_tail,
+    }[mode]
+
+
+def _tail_supports(*args) -> bool:
+    from strajnet_tpu.ops.pallas_decoder_tail import supports
+
+    return supports(*args)
 
 
 def _apply_tail(x5: jax.Array, ku: jax.Array, kb: jax.Array,
@@ -226,7 +235,7 @@ def _apply_tail(x5: jax.Array, ku: jax.Array, kb: jax.Array,
     isolated; recorded negative)."""
     b, t, h, w, c = x5.shape
     xf = x5.reshape(b * t, h, w, c).astype(dt)
-    y = _TAIL_FNS[mode](xf, ku, kb, ko, bo)
+    y = _tail_fn(mode)(xf, ku, kb, ko, bo)
     return y.reshape(b, t, 2 * h, 2 * w, ko.shape[-1])
 
 

@@ -15,7 +15,7 @@ upstream Waymo code applies is intentionally disabled in the reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -383,7 +383,9 @@ def decoder_tail(x: jax.Array, w_up: jax.Array, b_up: jax.Array,
 
 
 def supports(h: int, w: int, cin: int, cmid: int, cout: int) -> bool:
-    """Geometry gate: the packed-N layout needs 16*Cmid lane-tileable and
-    the epilogue is specialised to 2 output channels."""
+    """Geometry gate: the packed-N layout needs 16*Cmid lane-tileable, the
+    epilogue is specialised to 2 output channels, and the row-chunk loop
+    needs h divisible by the chunk size min(16, h) (_tail_call)."""
     return (cout == 2 and (16 * cmid) % 128 == 0 and h == w
-            and h % 8 == 0 and cin % 8 == 0)
+            and h % 8 == 0 and cin % 8 == 0
+            and (h <= 16 or h % 16 == 0))

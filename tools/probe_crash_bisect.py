@@ -1,7 +1,11 @@
 """TPU probe: bisect the attn-mode training worker crash.
 
 Usage: python -u tools/probe_crash_bisect.py <part> [batch]
-  part: enc | encfg | model | modelloss | step
+  part: enc | model | modelloss | step
+    enc       encoder-only grad (all three branches + patch embeds)
+    model     full model fwd+bwd, sum-of-outputs loss (no OGM loss)
+    modelloss full model + OGM loss/warp kernel (no optimizer)
+    step      the real make_train_step (== tools/probe_train_tpu.py attn)
 Each part jits grad-wrt-params of a scalar loss. Inputs are passed as jit
 ARGUMENTS, never closed over: closed-over concrete arrays lower as inline
 stablehlo constants, and a 369 MB random OGM literal overflows the axon
@@ -40,7 +44,7 @@ def gsum(g):
                for x in jax.tree_util.tree_leaves(g))
 
 
-if part in ("enc", "encfg"):
+if part == "enc":
     from strajnet_tpu.models.swin import SwinTransformerEncoder
     import numpy as np
 
@@ -77,7 +81,17 @@ if part in ("enc", "encfg"):
     print("enc grad ok:", float(run(params, ogm, mp, flow)),
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
-elif part in ("model", "modelloss", "step"):
+elif part == "step":
+    import subprocess
+
+    rc = subprocess.call([sys.executable, "-u",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)),
+                          "probe_train_tpu.py"), "attn", str(B)])
+    print("step rc:", rc, flush=True)
+    sys.exit(rc)
+
+elif part in ("model", "modelloss"):
     from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
     model = STrajNet(cfg=cfg)
