@@ -175,6 +175,13 @@ class ModelConfig:
     # headroom for larger batches.
     remat_encoder: bool = False
 
+    # Spatial (sp) activation partitioning: annotate the encoder token
+    # grids and decoder [B,T,H,W,C] volumes sharded over the mesh 'model'
+    # axis (parallel/mesh.py::sharding_hint). Lets one sample's 512^2
+    # activation maps span chips; GSPMD inserts the halo exchanges. No-op
+    # without an active mesh.
+    spatial_shard: bool = False
+
     # Decoder-tail formulation (ops/pallas_decoder_tail.py). None/False =
     # the naive XLA composition — fastest IN-MODEL on v5e. "phase" = the
     # offset-grid form (wins isolated, loses ~7 ms/batch in-model).

@@ -254,6 +254,9 @@ class Pyramid3DDecoder(nn.Module):
     # "phase" offset-grid form, True/"kernel" Pallas kernel, "infer" ->
     # kernel only when deterministic. See _apply_tail.
     use_tail_kernel: Any = False
+    # sp: annotate the [B,T,H,W,C] volumes H-sharded over 'model' under an
+    # active mesh (parallel/mesh.py::sharding_hint).
+    spatial_shard: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, res_list: Optional[List[jax.Array]] = None,
@@ -291,6 +294,12 @@ class Pyramid3DDecoder(nn.Module):
             occ_tail_di = decode_inds[-1]
             occ_inds = decode_inds[:-1]
 
+        def _sp(v):
+            if not self.spatial_shard or v is None:
+                return v
+            from strajnet_tpu.parallel.mesh import sharding_hint
+            return sharding_hint(v, "data", None, "model", None, None)
+
         flow_x = None
         for i, di in enumerate(occ_inds):
             if self.conv_cnn and i == 0:
@@ -300,6 +309,7 @@ class Pyramid3DDecoder(nn.Module):
             else:
                 x = FusedUpConv(decoder_channels[di], dtype=dt,
                                 name=f"upconv_{di}_0")(x)
+            x = _sp(x)
 
             if self.use_pyramid and res_list is not None and i <= len(ind_list) - 1:
                 res = res_list[ind_list[i]]
@@ -357,6 +367,7 @@ class Pyramid3DDecoder(nn.Module):
                 else:
                     f = FusedUpConv(decoder_channels[di], dtype=dt,
                                     name=f"upconvf_{di}_0")(f)
+                f = _sp(f)
             if flow_tail_di is not None:
                 featf = decoder_channels[flow_tail_di]
                 _, _, hf, wf, cf = f.shape

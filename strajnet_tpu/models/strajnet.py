@@ -65,7 +65,8 @@ class STrajNet(nn.Module):
             patch_norm=cfg.patch_norm, sep_encode=cfg.sep_encode,
             no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
             large_input=cfg.large_input,
-            use_pallas=use_pallas, remat=cfg.remat_encoder, dtype=dt,
+            use_pallas=use_pallas, remat=cfg.remat_encoder,
+            spatial_shard=cfg.spatial_shard, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)
 
         q = res_list[-1]  # [B, bh*bw, bd]
@@ -109,6 +110,7 @@ class STrajNet(nn.Module):
             sep_conv=cfg.sep_conv,
             rep_res=cfg.rep_res, stp_grad=cfg.stp_grad, num_waypoints=t,
             bottleneck_size=(bh, bw), dtype=dt, use_tail_kernel=use_tail,
+            spatial_shard=cfg.spatial_shard,
             name="decoder")(obs_value, res_list, deterministic)
 
         # [B, T, H, W, 4] -> waypoint-major channels [B, H, W, T*4]

@@ -424,6 +424,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     use_pallas: Union[bool, str] = False
     remat: bool = False
+    spatial_shard: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -445,6 +446,12 @@ class BasicLayer(nn.Module):
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"blocks{i}")(x, deterministic)
+            if self.spatial_shard:
+                # sp: tokens sharded over 'model' (row-major L = H*W, so
+                # this is an H split; GSPMD adds the shifted-window halo
+                # exchanges). See parallel/mesh.py::sharding_hint.
+                from strajnet_tpu.parallel.mesh import sharding_hint
+                x = sharding_hint(x, "data", "model", None)
         res = x
         if self.downsample:
             x = PatchMerging(self.input_resolution, self.dim, self.dtype,
@@ -555,6 +562,7 @@ class SwinTransformerEncoder(nn.Module):
     large_input: bool = True
     use_pallas: Union[bool, str] = False
     remat: bool = False
+    spatial_shard: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -578,7 +586,8 @@ class SwinTransformerEncoder(nn.Module):
                 drop_path=tuple(dpr[sum(self.depths[:i]):
                                     sum(self.depths[:i + 1])]),
                 downsample=downsample, use_pallas=self.use_pallas,
-                remat=self.remat, dtype=dt, name=name)
+                remat=self.remat, spatial_shard=self.spatial_shard,
+                dtype=dt, name=name)
 
         ogm = ogm.astype(dt)
         map_img = map_img.astype(dt)

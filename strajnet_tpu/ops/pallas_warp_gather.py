@@ -204,7 +204,14 @@ _gather_corners.defvjp(_gather_fwd, _gather_bwd)
 
 
 def supports(image: jax.Array, warp: jax.Array) -> bool:
-    """True when the Pallas fast path applies to this (image, warp) pair."""
+    """True when the Pallas fast path applies to this (image, warp) pair.
+
+    ``STRAJNET_NO_WARP_KERNEL=1`` disables the route (debug hook for
+    isolating Pallas-kernel interactions in full-program crash bisection).
+    """
+    import os
+    if os.environ.get("STRAJNET_NO_WARP_KERNEL") == "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
     if image.ndim != 4 or image.shape[-1] != 1 or warp.shape[-1] != 2:

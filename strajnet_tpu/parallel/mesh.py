@@ -145,3 +145,19 @@ def shard_batch_multihost(batch, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         batch)
+
+
+def sharding_hint(x, *axes):
+    """Best-effort ``with_sharding_constraint`` for activation (sp) sharding.
+
+    Annotates ``x`` with ``PartitionSpec(*axes)`` when a mesh context with
+    the named axes is active and every sharded dim divides; otherwise
+    returns ``x`` unchanged. This is the GSPMD-idiomatic way to spatially
+    partition the 512^2 activation maps: the model stays a single program,
+    the hints pin the intended layout, and XLA inserts the halo-exchange /
+    resharding collectives.
+    """
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*axes))
+    except Exception:
+        return x

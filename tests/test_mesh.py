@@ -65,3 +65,33 @@ def test_shard_params_executes():
     sharded = shard_params(params, mesh)
     assert sharded["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
     assert sharded["attn"]["qkv"]["bias"].sharding.spec == P()
+
+
+def test_spatial_shard_loss_parity():
+    """spatial_shard=True (sp activation sharding over 'model') computes
+    the same forward as the unsharded model, with decoder/encoder
+    activations actually partitioned under the mesh."""
+    import dataclasses
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from strajnet_tpu.config import TINY_MODEL_CONFIG
+    from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+    from strajnet_tpu.parallel.mesh import shard_batch
+
+    cfg = TINY_MODEL_CONFIG
+    sp_cfg = dataclasses.replace(cfg, spatial_shard=True)
+    model = STrajNet(cfg=cfg)
+    sp_model = STrajNet(cfg=sp_cfg)
+    inputs = dummy_inputs(cfg, batch=8)
+    params = model.init(jax.random.PRNGKey(0), **inputs)
+
+    ref = model.apply(params, **inputs)
+
+    mesh = create_mesh(8, model_axis=2)
+    sp_inputs = shard_batch(inputs, mesh)
+    with mesh:
+        got = jax.jit(lambda p, kw: sp_model.apply(p, **kw))(params,
+                                                             sp_inputs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -40,7 +40,10 @@ def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias, mask, ws, heads):
 
 @pytest.mark.parametrize("shift", [0, 2])
 @pytest.mark.parametrize("shape", [(2, 16, 16, 8, 4, 2),
-                                   (1, 32, 32, 24, 8, 3)])
+                                   (1, 32, 32, 24, 8, 3),
+                                   # map-branch-like: ws=8 strips at c=96
+                                   pytest.param((1, 64, 64, 96, 8, 3),
+                                                marks=pytest.mark.slow)])
 def test_fused_window_attention_matches_xla(shape, shift):
     b, h, w, c, ws, heads = shape
     rng = np.random.RandomState(0)
