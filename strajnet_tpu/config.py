@@ -331,3 +331,7 @@ class TrainConfig:
     file_dir: str = "./Waymo_Dataset/preprocessed_data"
     shuffle_buffer: int = 2048  # reference uses 64 (train.py:381) — too small
     seed: int = 0
+    # Feed uint8 grids / f16 map from the host pipeline (bit-exact 2.3x
+    # fewer host->device bytes; the jitted steps cast back to f32 on
+    # device — data/schema.py, train/step.py::ensure_f32).
+    compact_feed: bool = True

@@ -29,7 +29,7 @@ def make_train_dataset(file_pattern: str, batch_size: int,
                        shuffle_buffer: int = 2048,
                        shard_index: int = 0, shard_count: int = 1,
                        seed: Optional[int] = None,
-                       repeat: bool = False):
+                       repeat: bool = False, compact: bool = False):
     tf = _tf()
     files = tf.io.matching_files(file_pattern)
     ds = tf.data.TFRecordDataset(files, compression_type="",
@@ -39,31 +39,36 @@ def make_train_dataset(file_pattern: str, batch_size: int,
     if repeat:
         ds = ds.repeat()
     ds = ds.shuffle(shuffle_buffer, seed=seed, reshuffle_each_iteration=True)
-    ds = ds.map(parse_train_example, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(lambda ex: parse_train_example(ex, compact=compact),
+                num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_size, drop_remainder=True)
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds
 
 
 def make_eval_dataset(file_pattern: str, batch_size: int,
-                      shard_index: int = 0, shard_count: int = 1):
+                      shard_index: int = 0, shard_count: int = 1,
+                      compact: bool = False):
     tf = _tf()
     files = tf.io.matching_files(file_pattern)
     ds = tf.data.TFRecordDataset(files, compression_type="",
                                  num_parallel_reads=tf.data.AUTOTUNE)
     if shard_count > 1:
         ds = ds.shard(shard_count, shard_index)
-    ds = ds.map(parse_train_example, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(lambda ex: parse_train_example(ex, compact=compact),
+                num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_size, drop_remainder=True)
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds
 
 
-def make_test_dataset(shard_path: str, batch_size: int = 1):
+def make_test_dataset(shard_path: str, batch_size: int = 1,
+                      compact: bool = False):
     """One shard of the test split incl. scenario ids (inference.py:254-259)."""
     tf = _tf()
     ds = tf.data.TFRecordDataset(shard_path)
-    ds = ds.map(parse_test_example, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(lambda ex: parse_test_example(ex, compact=compact),
+                num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_size)
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds

@@ -48,10 +48,20 @@ TEST_KEYS = ("centerlines", "actors", "occl_actors", "ogm", "map_image",
              "scenario/id", "vec_flow")
 
 
-def parse_train_example(example_proto):
-    """Parses one train/val record (reference train.py:85-103)."""
+def parse_train_example(example_proto, compact: bool = False):
+    """Parses one train/val record (reference train.py:85-103).
+
+    ``compact=True`` keeps binary grids as uint8 and the map raster as
+    float16 instead of widening everything to float32 on the host — a
+    bit-exact 2.3x cut of host->device feed bytes (the grids are {0,1} and
+    the map values k/256, k in [-128,127], are exact in f16; flows stay
+    f32). The jitted train/eval/predict steps cast back to f32 on device
+    (train/step.py::ensure_f32), so downstream numerics are identical.
+    """
     d = tf.io.parse_single_example(example_proto,
                                    _feature_spec(TRAIN_KEYS))
+    grid_t = tf.uint8 if compact else tf.float32
+    map_t = tf.float16 if compact else tf.float32
     out = {}
     out["centerlines"] = tf.cast(
         tf.reshape(tf.io.decode_raw(d["centerlines"], tf.float64),
@@ -71,26 +81,31 @@ def parse_train_example(example_proto):
         SHAPES["origin_flow"])[:, CROP, CROP, :]
 
     out["ogm"] = tf.reshape(
-        tf.cast(tf.io.decode_raw(d["ogm"], tf.bool), tf.float32),
+        tf.cast(tf.io.decode_raw(d["ogm"], tf.bool), grid_t),
         SHAPES["ogm"])
     out["gt_obs_ogm"] = tf.reshape(
-        tf.cast(tf.io.decode_raw(d["gt_obs_ogm"], tf.bool), tf.float32),
+        tf.cast(tf.io.decode_raw(d["gt_obs_ogm"], tf.bool), grid_t),
         SHAPES["gt_obs_ogm"])[:, CROP, CROP, :]
     out["gt_occ_ogm"] = tf.reshape(
-        tf.cast(tf.io.decode_raw(d["gt_occ_ogm"], tf.bool), tf.float32),
+        tf.cast(tf.io.decode_raw(d["gt_occ_ogm"], tf.bool), grid_t),
         SHAPES["gt_occ_ogm"])[:, CROP, CROP, :]
 
     out["map_image"] = tf.cast(
-        tf.reshape(tf.io.decode_raw(d["map_image"], tf.int8),
-                   SHAPES["map_image"]), tf.float32) / 256.0
+        tf.cast(tf.reshape(tf.io.decode_raw(d["map_image"], tf.int8),
+                           SHAPES["map_image"]), tf.float32) / 256.0, map_t)
     out["vec_flow"] = tf.reshape(
         tf.io.decode_raw(d["vec_flow"], tf.float32), SHAPES["vec_flow"])
     return out
 
 
-def parse_test_example(example_proto):
-    """Parses one test record incl. scenario id (inference.py:84-96)."""
+def parse_test_example(example_proto, compact: bool = False):
+    """Parses one test record incl. scenario id (inference.py:84-96).
+
+    ``compact`` as in :func:`parse_train_example` (bit-exact byte shrink).
+    """
     d = tf.io.parse_single_example(example_proto, _feature_spec(TEST_KEYS))
+    grid_t = tf.uint8 if compact else tf.float32
+    map_t = tf.float16 if compact else tf.float32
     out = {}
     out["centerlines"] = tf.cast(
         tf.reshape(tf.io.decode_raw(d["centerlines"], tf.float64),
@@ -102,11 +117,11 @@ def parse_test_example(example_proto):
         tf.reshape(tf.io.decode_raw(d["occl_actors"], tf.float64),
                    SHAPES["occl_actors"]), tf.float32)
     out["ogm"] = tf.reshape(
-        tf.cast(tf.io.decode_raw(d["ogm"], tf.bool), tf.float32),
+        tf.cast(tf.io.decode_raw(d["ogm"], tf.bool), grid_t),
         SHAPES["ogm"])
     out["map_image"] = tf.cast(
-        tf.reshape(tf.io.decode_raw(d["map_image"], tf.int8),
-                   SHAPES["map_image"]), tf.float32) / 256.0
+        tf.cast(tf.reshape(tf.io.decode_raw(d["map_image"], tf.int8),
+                           SHAPES["map_image"]), tf.float32) / 256.0, map_t)
     out["vec_flow"] = tf.reshape(
         tf.io.decode_raw(d["vec_flow"], tf.float32), SHAPES["vec_flow"])
     out["scenario/id"] = d["scenario/id"]

@@ -48,7 +48,8 @@ def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
                                cfg.num_waypoints, no_warp=no_warp)
     acc = MetricsAccumulator("val", no_warp=no_warp)
     losses_sum, n = {}, 0
-    for batch in as_numpy(make_eval_dataset(file_pattern, batch_size)):
+    for batch in as_numpy(make_eval_dataset(file_pattern, batch_size,
+                                            compact=True)):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         losses, metrics = eval_step(state, jbatch)
         acc.update_state(metrics)

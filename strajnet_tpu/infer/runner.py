@@ -48,7 +48,8 @@ def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
           f"{os.path.basename(shard_path)}...")
     submission = ChallengeSubmission()
     count = 0
-    for batch in as_numpy(make_test_dataset(shard_path, batch_size=1)):
+    for batch in as_numpy(make_test_dataset(shard_path, batch_size=1,
+                                            compact=True)):
         sc_id = batch.pop("scenario/id")[0]
         if isinstance(sc_id, bytes):
             sc_id = sc_id.decode("utf-8")

@@ -135,7 +135,8 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
                 f"{train_cfg.file_dir}/train/*.tfrecords",
                 local_bs, train_cfg.shuffle_buffer,
                 shard_index=proc, shard_count=n_proc,
-                seed=train_cfg.seed + epoch)
+                seed=train_cfg.seed + epoch,
+                compact=train_cfg.compact_feed)
             t0 = time.perf_counter()
             n = 0
             loss_sums = zero_loss_sums()
@@ -168,7 +169,8 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
 
             vds = make_eval_dataset(
                 f"{train_cfg.file_dir}/val/*.tfrecords", local_bs,
-                shard_index=proc, shard_count=n_proc)
+                shard_index=proc, shard_count=n_proc,
+                compact=train_cfg.compact_feed)
             for batch in prefetch_to_mesh(as_numpy(vds), mesh,
                                           multihost=n_proc > 1):
                 losses, metrics = eval_step(state, batch)

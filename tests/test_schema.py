@@ -56,6 +56,48 @@ def test_train_roundtrip():
         rtol=1e-6)
 
 
+def test_compact_parse_bit_exact():
+    """compact=True (uint8 grids, f16 map) widens back to the exact f32
+    values of the default parse — the feed-shrink changes no numerics."""
+    rng = np.random.RandomState(2)
+    feats = _fake_features(rng)
+    record = encode_example(feats)
+    full = parse_train_example(tf.constant(record))
+    compact = parse_train_example(tf.constant(record), compact=True)
+
+    assert set(full) == set(compact)
+    assert compact["ogm"].dtype == tf.uint8
+    assert compact["gt_obs_ogm"].dtype == tf.uint8
+    assert compact["map_image"].dtype == tf.float16
+    assert compact["gt_flow"].dtype == tf.float32  # flows stay exact f32
+    for k in full:
+        np.testing.assert_array_equal(
+            full[k].numpy(),
+            compact[k].numpy().astype(np.float32),
+            err_msg=k)
+
+
+def test_train_step_accepts_compact_batch():
+    """ensure_f32 makes the jitted step numerically identical under a
+    compact-dtype batch (uint8 grids / f16 map)."""
+    import jax.numpy as jnp
+
+    from strajnet_tpu.train.step import ensure_f32
+
+    batch = {
+        "ogm": jnp.ones((1, 4, 4, 2, 2), jnp.uint8),
+        "map_image": jnp.full((1, 2, 2, 3), 0.25, jnp.float16),
+        "gt_flow": jnp.ones((1, 2, 2, 2), jnp.float32),
+        "none_field": None,
+    }
+    out = ensure_f32(batch)
+    assert out["ogm"].dtype == jnp.float32
+    assert out["map_image"].dtype == jnp.float32
+    assert out["gt_flow"] is batch["gt_flow"]
+    assert out["none_field"] is None
+    np.testing.assert_array_equal(np.asarray(out["map_image"]), 0.25)
+
+
 def test_test_roundtrip_with_scenario_id():
     rng = np.random.RandomState(1)
     feats = _fake_features(rng)
