@@ -2,6 +2,10 @@
 
 Each component is looped ITERS times inside one jitted fori_loop so the
 host<->device (axon tunnel) latency is amortized out of the measurement.
+
+Usage: python -u tools/profile_parts.py [part ...]
+  parts: full encoder fgmsa trajnet decoder enc_embed enc_flow enc_stage0
+         enc_stage1 enc_stage2   (default: the five coarse parts)
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,13 +29,18 @@ from strajnet_tpu.models.trajnet import TrajNetCrossAttention
 from strajnet_tpu.models.decoder import Pyramid3DDecoder
 from strajnet_tpu.models.fgmsa import FGMSA
 
-B = 16
-ITERS = 20
+B = int(os.environ.get("PROFILE_BATCH", "16"))
+ITERS = int(os.environ.get("PROFILE_ITERS", "20"))
 dt = jnp.bfloat16
+
+PARTS = set(sys.argv[1:]) or {"full", "encoder", "fgmsa", "trajnet",
+                              "decoder"}
 
 
 def device_time(name, fn, params, inputs, probe_key):
     """fn(params, inputs_dict) -> pytree; loops on device, returns ms/iter."""
+    if name not in PARTS:
+        return None
 
     @jax.jit
     def loop(params, inputs):
@@ -98,3 +107,47 @@ dec_in = {"x": jnp.zeros((B, 8, 16, 16, 384), dt),
           "res": [jnp.zeros(s, dt) for s in res_shapes]}
 device_time("decoder", lambda p, kw: dec.apply(p, kw["x"], kw["res"]), dp,
             dec_in, "x")
+
+# ---- encoder sub-parts (pass part names on argv to select) ----
+from strajnet_tpu.models.swin import BasicLayer, LayerNorm, PatchEmbed
+
+encp = params["params"]["encoder"]
+
+
+def _embed_all(p, kw):
+    """The non-stage encoder work: 3 patch embeds + map pad + norms."""
+    f = PatchEmbed((4, 4), 96, True, dt).apply(
+        {"params": p["patch_embed_flow"]}, kw["flow"].astype(dt))
+    f = LayerNorm(1e-5, dt).apply({"params": p["flow_norm"]}, f)
+    x = PatchEmbed((4, 4), 96, True, dt).apply(
+        {"params": p["patch_embed_vehicle"]}, kw["ogm"].astype(dt)[..., 0])
+    maps = PatchEmbed((4, 4), 96, True, dt).apply(
+        {"params": p["patch_embed_map"]}, kw["map_img"].astype(dt))
+    maps = maps.reshape(-1, 64, 64, 96)
+    maps = jnp.pad(maps, ((0, 0), (32, 32), (32, 32), (0, 0)))
+    x = x + maps.reshape(-1, 128 * 128, 96)
+    x = LayerNorm(1e-5, dt).apply({"params": p["all_patch_norm"]}, x)
+    return x + jnp.sum(f)
+
+
+device_time("enc_embed", _embed_all, encp, inputs, "flow")
+
+
+def _stage(i, downsample):
+    return BasicLayer(
+        dim=96 * 2 ** i, input_resolution=(128 // 2 ** i, 128 // 2 ** i),
+        depth=2, num_heads=(3, 6, 12)[i], window_size=8,
+        drop_path=(0.0, 0.0), downsample=downsample,
+        use_pallas=cfg.use_pallas_attention, dtype=dt)
+
+
+for nm, key, i in [("enc_flow", "flow_layer", 0), ("enc_stage0", "layers0", 0),
+                   ("enc_stage1", "layers1", 1), ("enc_stage2", "layers2", 2)]:
+    if nm not in PARTS:
+        continue
+    L = 128 // 2 ** i
+    st_in = {"x": jnp.zeros((B, L * L, 96 * 2 ** i), dt)}
+    device_time(nm,
+                lambda p, kw, _m=_stage(i, i < 2): jax.tree.leaves(
+                    _m.apply(p, kw["x"], True))[0],
+                {"params": encp[key]}, st_in, "x")
