@@ -4,8 +4,8 @@ Each component is looped ITERS times inside one jitted fori_loop so the
 host<->device (axon tunnel) latency is amortized out of the measurement.
 
 Usage: python -u tools/profile_parts.py [part ...]
-  parts: full encoder fgmsa trajnet decoder enc_embed enc_flow enc_stage0
-         enc_stage1 enc_stage2   (default: the five coarse parts)
+  parts: full encoder fgmsa fgmsa_nope trajnet decoder enc_embed enc_flow
+         enc_stage0 enc_stage1 enc_stage2  (default: the five coarse parts)
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -89,6 +89,14 @@ fg = FGMSA(q_size=(16, 16), kv_size=(16, 16), n_heads=8, n_head_channels=48,
 fgp = {"params": params["params"]["fg_msa_layer"]}
 fg_in = {"x": jnp.zeros((B, 16, 16, 384), dt)}
 device_time("fgmsa", lambda p, kw: fg.apply(p, kw["x"]), fgp, fg_in, "x")
+
+# Attribution variant: use_pe=False drops the rpe-bias window sampling, so
+# (fgmsa - fgmsa_nope) isolates the rpe cost inside the fused program.
+fg_nope = FGMSA(q_size=(16, 16), kv_size=(16, 16), n_heads=8,
+                n_head_channels=48, n_groups=8, out_dim=384, in_dim=384,
+                fg=True, use_pe=False, dtype=dt)
+device_time("fgmsa_nope", lambda p, kw: fg_nope.apply(p, kw["x"]), fgp,
+            fg_in, "x")
 
 tn = TrajNetCrossAttention(pic_size=(16, 16), pic_dim=384, dtype=dt)
 tnp_ = {"params": params["params"]["trajnet_attn"]}
