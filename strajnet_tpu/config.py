@@ -168,6 +168,14 @@ class ModelConfig:
     #   True or "block" -> fully fused Swin block kernel
     use_pallas_attention: Optional[Union[bool, str]] = None
 
+    # Dense-strip width of the Pallas attention/block kernels, in windows
+    # per program (None = one full row of windows). The dense formulation
+    # spends a factor (width) of its logits/softmax arithmetic on masked
+    # cross-window pairs, so narrower strips do proportionally less work
+    # but dispatch more, smaller matmuls — a TPU tuning knob
+    # (ops/pallas_window_attention.py).
+    pallas_windows_per_program: Optional[int] = None
+
     # Rematerialize encoder Swin blocks in the backward (jax.checkpoint /
     # nn.remat): recompute each block's forward instead of storing its
     # LN/attention/MLP intermediates — trades ~1 extra forward of FLOPs

@@ -65,7 +65,9 @@ class STrajNet(nn.Module):
             patch_norm=cfg.patch_norm, sep_encode=cfg.sep_encode,
             no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
             large_input=cfg.large_input,
-            use_pallas=use_pallas, remat=cfg.remat_encoder,
+            use_pallas=use_pallas,
+            windows_per_program=cfg.pallas_windows_per_program,
+            remat=cfg.remat_encoder,
             spatial_shard=cfg.spatial_shard, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)
 

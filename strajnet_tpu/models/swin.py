@@ -248,6 +248,7 @@ class SwinTransformerBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: Union[bool, str] = False
+    windows_per_program: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -316,7 +317,7 @@ class SwinTransformerBlock(nn.Module):
                 ln1s, ln1b, ln2s, ln2b, w1.astype(dt), b1_, w2.astype(dt),
                 b2_, jnp.asarray(mask) if mask is not None else None,
                 dpm, window_size=window_size, num_heads=self.num_heads,
-                eps=1e-5)
+                eps=1e-5, windows_per_program=self.windows_per_program)
             if shift_size > 0:
                 y = jnp.roll(y, shift=(shift_size, shift_size), axis=(1, 2))
             return y.reshape(-1, h * w, c)
@@ -342,7 +343,8 @@ class SwinTransformerBlock(nn.Module):
                 wproj.astype(dt), bproj.astype(dt),
                 rel_bias.astype(jnp.float32),
                 jnp.asarray(mask) if mask is not None else None,
-                window_size=window_size, num_heads=self.num_heads)
+                window_size=window_size, num_heads=self.num_heads,
+                windows_per_program=self.windows_per_program)
         else:
             x_windows = window_partition(x, window_size)
             x_windows = x_windows.reshape(-1, window_size * window_size, c)
@@ -423,6 +425,7 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = (0.0,)
     downsample: bool = False
     use_pallas: Union[bool, str] = False
+    windows_per_program: Optional[int] = None
     remat: bool = False
     spatial_shard: bool = False
     dtype: Dtype = jnp.float32
@@ -445,6 +448,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
                 use_pallas=self.use_pallas,
+                windows_per_program=self.windows_per_program,
                 dtype=self.dtype, name=f"blocks{i}")(x, deterministic)
             if self.spatial_shard:
                 # sp: tokens sharded over 'model' (row-major L = H*W, so
@@ -561,6 +565,7 @@ class SwinTransformerEncoder(nn.Module):
     use_flow: bool = True
     large_input: bool = True
     use_pallas: Union[bool, str] = False
+    windows_per_program: Optional[int] = None
     remat: bool = False
     spatial_shard: bool = False
     dtype: Dtype = jnp.float32
@@ -586,6 +591,7 @@ class SwinTransformerEncoder(nn.Module):
                 drop_path=tuple(dpr[sum(self.depths[:i]):
                                     sum(self.depths[:i + 1])]),
                 downsample=downsample, use_pallas=self.use_pallas,
+                windows_per_program=self.windows_per_program,
                 remat=self.remat, spatial_shard=self.spatial_shard,
                 dtype=dt, name=name)
 

@@ -92,7 +92,7 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     dt = x_ref.dtype
 
     xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
-    bi = pl.program_id(1)
+    bi = pl.program_id(2)
     dp1 = dp_ref[bi, 0]
     dp2 = dp_ref[bi, 1]
 
@@ -150,7 +150,8 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     dt = x_ref.dtype
     bf = jnp.bfloat16
 
-    is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                & (pl.program_id(2) == 0))
 
     @pl.when(is_first)
     def _init():
@@ -161,7 +162,7 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
 
     xw = _window_major(x_ref[0], ws, n_win, c)
     dyw = _window_major(dy_ref[0], ws, n_win, c).astype(jnp.float32)
-    bi = pl.program_id(1)
+    bi = pl.program_id(2)
     dp1 = dp_ref[bi, 0]
     dp2 = dp_ref[bi, 1]
 
@@ -277,24 +278,26 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
-                   eps: float, interpret: bool):
+                   eps: float, interpret: bool, wpp=None):
     ws = window_size
 
-    def specs(b, h, w, c, n_win_w, n):
-        xspec = pl.BlockSpec((1, ws, w, c), lambda g, bi: (bi, g, 0, 0),
+    def specs(b, h, w, c, wpp_, n):
+        xspec = pl.BlockSpec((1, ws, wpp_ * ws, c),
+                             lambda gr, gc, bi: (bi, gr, gc, 0),
                              memory_space=pltpu.VMEM)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        ncc = w // (wpp_ * ws)
         if use_mask:
-            mspec = pl.BlockSpec((1, n_win_w * n, n_win_w * n),
-                                 lambda g, bi: (g, 0, 0),
+            mspec = pl.BlockSpec((1, wpp_ * n, wpp_ * n),
+                                 lambda gr, gc, bi: (gr * ncc + gc, 0, 0),
                                  memory_space=pltpu.VMEM)
         else:
-            mspec = pl.BlockSpec((1, 1), lambda g, bi: (0, 0),
+            mspec = pl.BlockSpec((1, 1), lambda gr, gc, bi: (0, 0),
                                  memory_space=pltpu.SMEM)
         # Whole-array SMEM: Mosaic requires the last block dims to be
         # divisible by (8, 128) or equal to the array dims, so a (1, 2)
         # block over [B, 2] only lowers at B == 1. Kernels index the
-        # batch row via pl.program_id(1) instead.
+        # batch row via pl.program_id(2) instead.
         dpspec = pl.BlockSpec(memory_space=pltpu.SMEM)
         # x, wqkv, bqkv, wproj, bproj, relbig, mask, ln1s, ln1b, ln2s,
         # ln2b, w1, b1, w2, b2, dp
@@ -306,15 +309,15 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
         b, h, w, c = x.shape
         head_dim = c // num_heads
         n = ws * ws
-        n_win_w = w // ws
-        grid = (h // ws, b)
+        wpp_ = (w // ws) if wpp is None else wpp
+        grid = (h // ws, w // (ws * wpp_), b)
         kernel = functools.partial(_fwd_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
                                    use_mask=use_mask, eps=eps)
         (wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b, ln2s, ln2b,
          w1, b1, w2, b2) = args
-        relbig = _relbig(rel_bias, n_win_w)
-        xspec, ins = specs(b, h, w, c, n_win_w, n)
+        relbig = _relbig(rel_bias, wpp_)
+        xspec, ins = specs(b, h, w, c, wpp_, n)
         return pl.pallas_call(
             kernel, grid=grid, in_specs=ins, out_specs=xspec,
             out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
@@ -330,19 +333,19 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
         b, h, w, c = x.shape
         head_dim = c // num_heads
         n = ws * ws
-        n_win_w = w // ws
+        wpp_ = (w // ws) if wpp is None else wpp
         hidden = args[9].shape[-1]  # w1 [C, hidden]
-        grid = (h // ws, b)
+        grid = (h // ws, w // (ws * wpp_), b)
         kernel = functools.partial(_bwd_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
                                    use_mask=use_mask, eps=eps)
         (wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b, ln2s, ln2b,
          w1, b1, w2, b2) = args
-        relbig = _relbig(rel_bias, n_win_w)
-        xspec, ins = specs(b, h, w, c, n_win_w, n)
+        relbig = _relbig(rel_bias, wpp_)
+        xspec, ins = specs(b, h, w, c, wpp_, n)
         ins.append(xspec)  # dy
         acc = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda g, bi: (0,) * len(shape),
+            shape, lambda gr, gc, bi: (0,) * len(shape),
             memory_space=pltpu.VMEM)
         res = pl.pallas_call(
             kernel, grid=grid, in_specs=ins,
@@ -408,14 +411,16 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "num_heads",
-                                             "eps", "interpret"))
+                                             "eps", "interpret",
+                                             "windows_per_program"))
 def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
                      ln1_scale, ln1_bias, ln2_scale, ln2_bias,
                      w1, b1, w2, b2,
                      mask: Optional[jax.Array] = None,
                      drop_path: Optional[jax.Array] = None,
                      *, window_size: int, num_heads: int, eps: float = 1e-5,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     windows_per_program: Optional[int] = None) -> jax.Array:
     """One Swin block (LN -> W-MSA -> +res -> LN -> MLP -> +res), fused.
 
     Args:
@@ -429,6 +434,10 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
       drop_path: optional [B, 2] keep-scaled per-sample DropPath
         multipliers for the two residual branches (1.0 = keep; the caller
         draws mask/keep once per sample).
+      windows_per_program: dense-strip width in windows (must divide the
+        per-row window count; None = full row) — see
+        fused_window_attention. Narrower strips waste less logits/softmax
+        work on the masked cross-window pairs.
 
     Returns:
       [B, H, W, C] block output.
@@ -437,13 +446,16 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
     ws = window_size
     n = ws * ws
     n_win_w = w // ws
+    wpp = windows_per_program
+    if wpp is not None and (wpp > n_win_w or n_win_w % wpp):
+        wpp = None  # fall back to full-row strips at incompatible widths
     use_mask = mask is not None
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     if mask is None:
         mask_in = jnp.zeros((1, 1), jnp.float32)
     else:
-        mask_in = _maskbig(mask, h // ws, n_win_w, n)
+        mask_in = _maskbig(mask, h // ws, n_win_w, n, wpp)
     if drop_path is None:
         dp = jnp.ones((b, 2), jnp.float32)
     else:
@@ -451,5 +463,5 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
 
     args = (wqkv, bqkv, wproj, bproj, rel_bias.astype(jnp.float32),
             ln1_scale, ln1_bias, ln2_scale, ln2_bias, w1, b1, w2, b2)
-    fn = _make_block_fn(ws, num_heads, use_mask, eps, interpret)
+    fn = _make_block_fn(ws, num_heads, use_mask, eps, interpret, wpp)
     return fn(x, args, mask_in, dp)

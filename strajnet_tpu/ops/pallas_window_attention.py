@@ -121,7 +121,8 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, relbig_ref, mask_ref,
     scale = head_dim ** -0.5
     bf = jnp.bfloat16
 
-    is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                & (pl.program_id(2) == 0))
 
     @pl.when(is_first)
     def _init():
@@ -210,44 +211,58 @@ def _relbig(rel_bias, n_win):
     return jnp.tile(rel_bias, (1, n_win, n_win))
 
 
-def _maskbig(mask, n_win_h, n_win_w, n):
-    """[n_windows, n, n] SW-MSA mask -> [n_win_h, N, N] bf16 block-diagonal
-    per row strip (mask values {0, -100} are exact in bf16).
+def _maskbig(mask, n_win_h, n_win_w, n, wpp=None):
+    """[n_windows, n, n] SW-MSA mask -> [n_strips, N, N] bf16
+    block-diagonal per strip of ``wpp`` consecutive windows in a row
+    (N = wpp*n; default wpp = the full row; mask values {0, -100} are
+    exact in bf16).
 
-    Built as one fused tile + iota-select: big[h, p, q] = m[h, p//n, p%n,
+    Built as one fused tile + iota-select: big[s, p, q] = m[s, p//n, p%n,
     q%n] on the block diagonal (p//n == q//n), 0 off it. The earlier
     eye-broadcast formulation materialized a [nh, nw, n, nw, n] f32
     intermediate — 268 MB at the flagship stage-0 geometry — inside every
     program containing the kernel."""
     nh, nw = n_win_h, n_win_w
-    big_n = nw * n
-    m = mask.reshape(nh, nw, n, n).astype(jnp.bfloat16)
+    wpp = nw if wpp is None else wpp
+    n_strips = nh * (nw // wpp)
+    big_n = wpp * n
+    m = mask.reshape(n_strips, wpp, n, n).astype(jnp.bfloat16)
     wi = jax.lax.broadcasted_iota(jnp.int32, (big_n, big_n), 0) // n
     wj = jax.lax.broadcasted_iota(jnp.int32, (big_n, big_n), 1) // n
-    vals = jnp.tile(m.reshape(nh, big_n, n), (1, 1, nw))
+    vals = jnp.tile(m.reshape(n_strips, big_n, n), (1, 1, wpp))
     return jnp.where((wi == wj)[None], vals, jnp.bfloat16(0))
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
-                   interpret: bool):
-    """Builds the custom-vjp fused attention for a static geometry."""
+                   interpret: bool, wpp: Optional[int] = None):
+    """Builds the custom-vjp fused attention for a static geometry.
+
+    ``wpp`` (windows per program) sets the strip width: each program
+    attends ``wpp`` consecutive windows of one row as a dense [wpp*n,
+    wpp*n] masked attention. The dense formulation wastes a factor wpp in
+    logits/softmax work on the -1e9 cross-window entries, so NARROWER
+    strips do less arithmetic — but dispatch more programs with smaller
+    matmuls. Default (None) = the full row (the round-1 formulation).
+    """
     ws = window_size
 
-    def specs(b, h, w, c, n_win_w, n, with_bproj):
-        xspec = pl.BlockSpec((1, ws, w, c), lambda g, bi: (bi, g, 0, 0),
+    def specs(b, h, w, c, wpp_, n, with_bproj):
+        xspec = pl.BlockSpec((1, ws, wpp_ * ws, c),
+                             lambda gr, gc, bi: (bi, gr, gc, 0),
                              memory_space=pltpu.VMEM)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        ncc = w // (wpp_ * ws)
         ins = [xspec, full, full, full]
         if with_bproj:
             ins.append(full)
         ins.append(full)  # relbig
         if use_mask:
-            ins.append(pl.BlockSpec((1, n_win_w * n, n_win_w * n),
-                                    lambda g, bi: (g, 0, 0),
+            ins.append(pl.BlockSpec((1, wpp_ * n, wpp_ * n),
+                                    lambda gr, gc, bi: (gr * ncc + gc, 0, 0),
                                     memory_space=pltpu.VMEM))
         else:
-            ins.append(pl.BlockSpec((1, 1), lambda g, bi: (0, 0),
+            ins.append(pl.BlockSpec((1, 1), lambda gr, gc, bi: (0, 0),
                                     memory_space=pltpu.SMEM))
         return xspec, ins
 
@@ -255,15 +270,15 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
         b, h, w, c = x.shape
         head_dim = c // num_heads
         n = ws * ws
-        n_win_w = w // ws
-        # grid (g, b): b iterates fastest, so the per-strip mask block is
-        # fetched once per row of windows.
-        grid = (h // ws, b)
+        wpp_ = (w // ws) if wpp is None else wpp
+        # grid (row, col-chunk, b): b iterates fastest, so the per-strip
+        # mask block is fetched once per strip of windows.
+        grid = (h // ws, w // (ws * wpp_), b)
         kernel = functools.partial(_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
                                    use_mask=use_mask)
-        xspec, ins = specs(b, h, w, c, n_win_w, n, with_bproj=True)
-        relbig = _relbig(rel_bias, n_win_w)
+        xspec, ins = specs(b, h, w, c, wpp_, n, with_bproj=True)
+        relbig = _relbig(rel_bias, wpp_)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -279,17 +294,17 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
         b, h, w, c = x.shape
         head_dim = c // num_heads
         n = ws * ws
-        n_win_w = w // ws
-        grid = (h // ws, b)
+        wpp_ = (w // ws) if wpp is None else wpp
+        grid = (h // ws, w // (ws * wpp_), b)
         kernel = functools.partial(_bwd_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
                                    use_mask=use_mask)
-        xspec, ins = specs(b, h, w, c, n_win_w, n, with_bproj=False)
+        xspec, ins = specs(b, h, w, c, wpp_, n, with_bproj=False)
         ins.append(xspec)  # dy
         acc = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda g, bi: (0,) * len(shape),
+            shape, lambda gr, gc, bi: (0,) * len(shape),
             memory_space=pltpu.VMEM)
-        relbig = _relbig(rel_bias, n_win_w)
+        relbig = _relbig(rel_bias, wpp_)
         dx, dwqkv, dbqkv, dwproj, dbproj, dbias = pl.pallas_call(
             kernel,
             grid=grid,
@@ -335,13 +350,16 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "num_heads",
-                                             "interpret"))
+                                             "interpret",
+                                             "windows_per_program"))
 def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                            wproj: jax.Array, bproj: jax.Array,
                            rel_bias: jax.Array,
                            mask: Optional[jax.Array] = None,
                            *, window_size: int, num_heads: int,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           windows_per_program: Optional[int] = None
+                           ) -> jax.Array:
     """Windowed MHA with bias/mask for pre-rolled, pre-normalized inputs.
 
     Args:
@@ -351,6 +369,10 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
       rel_bias: [num_heads, ws*ws, ws*ws] relative-position bias.
       mask: optional [n_windows, ws*ws, ws*ws] additive SW-MSA mask
         (row-major window order over the full grid).
+      windows_per_program: dense-strip width in windows (must divide the
+        per-row window count; None = full row). Narrower strips spend
+        proportionally less matmul/softmax work on masked cross-window
+        pairs at the cost of more, smaller programs — a TPU tuning knob.
 
     Differentiable (custom_vjp backed by a Pallas backward kernel) — the
     training path uses the same fused program as inference.
@@ -362,6 +384,9 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     ws = window_size
     n = ws * ws
     n_win_w = w // ws
+    wpp = windows_per_program
+    if wpp is not None and (wpp > n_win_w or n_win_w % wpp):
+        wpp = None  # fall back to full-row strips at incompatible widths
     use_mask = mask is not None
     if not interpret and jax.default_backend() == "cpu":
         # CPU has no Mosaic backend — run the same kernel interpreted so the
@@ -370,8 +395,8 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     if mask is None:
         mask_in = jnp.zeros((1, 1), jnp.float32)  # unused SMEM placeholder
     else:
-        mask_in = _maskbig(mask, h // ws, n_win_w, n)
+        mask_in = _maskbig(mask, h // ws, n_win_w, n, wpp)
 
-    fused = _make_fused_fn(ws, num_heads, use_mask, interpret)
+    fused = _make_fused_fn(ws, num_heads, use_mask, interpret, wpp)
     return fused(x, wqkv, bqkv, wproj, bproj, rel_bias.astype(jnp.float32),
                  mask_in)

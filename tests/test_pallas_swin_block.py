@@ -153,6 +153,62 @@ def test_fused_swin_block_backward_batch_ge2(shift):
             nm, np.abs(go - gr).max(), scale)
 
 
+@pytest.mark.parametrize("wpp", [1, 2])
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_swin_block_narrow_strips(shift, wpp):
+    """windows_per_program < full row: forward + backward parity vs the
+    full-row strip formulation (same math, narrower dense blocks)."""
+    b, h, w, c, ws, heads = 2, 16, 16, 8, 4, 2
+    a = _make_inputs(b, h, w, c, ws, heads, seed=3)
+    mask = (jnp.asarray(shifted_window_mask(h, w, ws, shift))
+            if shift > 0 else None)
+    rng = np.random.RandomState(4)
+    cot = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    def run(wpp_):
+        def f(x):
+            y = fused_swin_block(
+                x, a["wqkv"], a["bqkv"], a["wproj"], a["bproj"],
+                a["rel_bias"], a["ln1s"], a["ln1b"], a["ln2s"], a["ln2b"],
+                a["w1"], a["b1"], a["w2"], a["b2"], mask, None,
+                window_size=ws, num_heads=heads, interpret=True,
+                windows_per_program=wpp_)
+            return jnp.sum(y * cot), y
+
+        (val, y), g = jax.value_and_grad(f, has_aux=True)(a["x"])
+        return y, g
+
+    y_full, g_full = run(None)
+    y_n, g_n = run(wpp)
+    np.testing.assert_allclose(np.asarray(y_n), np.asarray(y_full),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_n), np.asarray(g_full),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_model_narrow_strip_config_matches_xla():
+    """pallas_windows_per_program plumbs config -> encoder -> kernels and
+    keeps model-level forward parity with the XLA path."""
+    import dataclasses
+
+    from strajnet_tpu.config import TINY_MODEL_CONFIG
+    from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+
+    cfg_x = dataclasses.replace(TINY_MODEL_CONFIG, drop_path_rate=0.0)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas_attention="block",
+                                pallas_windows_per_program=2)
+    mx, mp = STrajNet(cfg=cfg_x), STrajNet(cfg=cfg_p)
+    inputs = dummy_inputs(cfg_x, batch=2)
+    rng = np.random.RandomState(5)
+    inputs["flow"] = jnp.asarray(
+        rng.randn(*inputs["flow"].shape).astype(np.float32))
+    params = mx.init(jax.random.PRNGKey(0), **inputs)
+    ox = mx.apply(params, **inputs)
+    op = mp.apply(params, **inputs)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_model_block_path_batch2_matches_xla():
     """Tiny STrajNet, batch 2, Pallas block mode vs pure XLA: forward and
     gradients match (drop_path 0 so paths share rng-free determinism)."""
