@@ -1,6 +1,6 @@
 """TPU probe: flagship forward throughput by Pallas mode.
 
-Usage: python -u tools/probe_infer_tpu.py <mode> [batch]
+Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp]
   mode: attn | block | none   (use_pallas_attention)
 Mirrors bench.bench_inference (fori_loop-amortized dispatch).
 """
@@ -27,9 +27,11 @@ import dataclasses
 from strajnet_tpu.config import STRAJNET_CONFIG
 from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
-cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode)
-print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch}",
-      flush=True)
+wpp = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = full-row strips
+cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
+                          pallas_windows_per_program=wpp or None)
+print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
+      f"wpp={wpp or 'row'}", flush=True)
 
 model = STrajNet(cfg=cfg)
 inputs = dummy_inputs(cfg, batch=batch, dtype=jnp.float32)

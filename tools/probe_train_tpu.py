@@ -1,6 +1,6 @@
 """TPU probe: one flagship train step, parameterized by Pallas mode/batch.
 
-Usage: python -u tools/probe_train_tpu.py <mode> <batch>
+Usage: python -u tools/probe_train_tpu.py <mode> <batch> [donate] [accum] [wpp]
   mode: attn | block | none   (use_pallas_attention)
 Mirrors bench.bench_training exactly (donate+accumulate step, synthetic
 batch) so a pass here predicts a green bench training phase.
@@ -23,6 +23,7 @@ mode_arg = sys.argv[1] if len(sys.argv) > 1 else "attn"
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 donate = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
 accumulate = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
+wpp = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = full-row strips
 mode = {"attn": "attn", "block": "block", "none": False}[mode_arg]
 
 import dataclasses
@@ -33,7 +34,8 @@ from strajnet_tpu.data.synthetic import synthetic_batch
 from strajnet_tpu.train.state import create_train_state
 from strajnet_tpu.train.step import make_train_step, zero_loss_sums
 
-cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode)
+cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
+                          pallas_windows_per_program=wpp or None)
 print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
       f"donate={donate} accumulate={accumulate}", flush=True)
 
