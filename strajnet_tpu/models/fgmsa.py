@@ -180,7 +180,7 @@ class FGMSA(nn.Module):
                 bound = 0.0 if self.no_off else max(hk, wk) / 2.0
                 attn_bias = rpe_window_bias(
                     rpe, posk.astype(jnp.float32), (h, w),
-                    bound=bound).astype(dt)
+                    bound=bound, compute_dtype=dt).astype(dt)
             else:
                 # general fallback (data-dependent reference positions):
                 # dense one-hot contraction in the compute dtype — bf16

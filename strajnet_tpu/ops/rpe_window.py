@@ -11,14 +11,16 @@ the integer grid, so for a fixed key k
     y(q, k) = q0(q) - pos0(k) + 1          (q0 integer, pos0 continuous)
 
 has a *constant fractional part per key*. The bilinear sample over all
-queries therefore reduces to extracting one (h+1)x(w+1) window of the
-(zero-extended) table at an integer offset per key and blending its four
-corner sub-windows with per-key weights:
+queries therefore reduces to selecting one h x w window of the
+(zero-extended) table per bilinear corner — four ADJACENT entries of one
+sliding-window enumeration — so the whole sample collapses to a single
+blended-selection contraction: the per-key selection vector is the outer
+product of two-tap row/col selectors carrying the bilinear weights,
 
-    bias[:, k] = (1-ax_k) [ (1-ay_k) W[0:h,0:w] + ay_k W[1:,0:w] ]
-               +    ax_k  [ (1-ay_k) W[0:h,1:]  + ay_k W[1:,1:]  ]
+    bias[:, k] = sum_z  [rowsel_k (x) colsel_k](z) * W_z,   W_z = h x w
+                 window of the padded table at enumerated start z.
 
-Work drops from O(S*HW*N*T) to O(S*N*(h+1)*T) contractions (~3x fewer FLOPs
+Work drops from O(S*HW*N*T) to O(S*N*h*T) contractions (~3x fewer FLOPs
 and ~10x less HBM traffic at the flagship 16x16/8-group config), all in
 plain XLA. Numerically equivalent to ``sample_small_table`` — the
 ZERO-border clamping semantics collapse to reads of the zero-extended table
@@ -33,8 +35,8 @@ import jax
 import jax.numpy as jnp
 
 
-def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float
-                    ) -> jax.Array:
+def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float,
+                    compute_dtype=jnp.float32) -> jax.Array:
     """Equivalent of ``sample_small_table(table, disp_swapped)`` for FG-MSA's
     regular-grid displacements.
 
@@ -46,6 +48,9 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float
         ``_ref_points(h, w).reshape(h*w, 2)``.
       bound: static bound on |pos - reference| (e.g. h/2 for tanh-bounded
         offsets); sets the zero padding so no window leaves the padded table.
+      compute_dtype: dtype of the window/selection contraction (the HBM-
+        dominant part). bf16 halves its traffic; pass f32 for bit-level
+        parity with the dense formulation.
 
     Returns:
       [S, h*w, K, G] bias, matching the sample_small_table formulation.
@@ -54,6 +59,7 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float
     s, th, tw, g = table.shape
     k = pos.shape[1]
     pos = pos.astype(jnp.float32)
+    cd = compute_dtype
 
     # padded table: TP[v] = T[v - p] zero-extended
     # static padding (math.ceil: jnp ops on python constants still trace
@@ -76,36 +82,40 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float
     rowstart = fy.astype(jnp.int32) - 1 + ph           # [S, K]
     colstart = fx.astype(jnp.int32) - 1 + pw
 
-    # Enumerate every reachable window start (the offset bound makes the
-    # candidate set small and static), materialize all sliding windows
-    # once per slice, and pick per key with ONE one-hot contraction whose
-    # batch is only S — per-(S,K) batched micro-matmuls (a naive row/col
-    # one-hot pair) dispatch 30k+ tiny MXU ops and measure slower than the
-    # dense formulation.
+    # Enumerate every reachable h x w window start (the offset bound makes
+    # the candidate set small and static), materialize all sliding windows
+    # once per slice, and BLEND-SELECT per key with ONE contraction whose
+    # batch is only S: the four bilinear corners are four adjacent entries
+    # of the same enumeration, so folding their weights into the selection
+    # vector (an outer product of row/col two-tap selectors) yields the
+    # final blended window directly — no [S,K,h+1,w+1] intermediate and no
+    # separate 4-corner blend passes. Per-(S,K) batched micro-matmuls (a
+    # naive row/col one-hot pair) dispatch 30k+ tiny MXU ops and measure
+    # slower than this dense formulation.
     rbase = (1 - h - cb) - 1 + ph
     cbase = (1 - w - cb) - 1 + pw
-    nr = h + 2 * cb + 1
-    nc = w + 2 * cb + 1
+    nr = h + 2 * cb + 2   # +1 window starts, +1 for the dy=1 corner
+    nc = w + 2 * cb + 2
     rows_z = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(tp, rbase + z, h + 1, axis=1)
-         for z in range(nr)], axis=1)                  # [S, nr, h+1, Wp, G]
+        [jax.lax.dynamic_slice_in_dim(tp, rbase + z, h, axis=1)
+         for z in range(nr)], axis=1)                  # [S, nr, h, Wp, G]
     win_z = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(rows_z, cbase + z, w + 1, axis=3)
-         for z in range(nc)], axis=2)                  # [S,nr,nc,h+1,w+1,G]
-    win_flat = win_z.reshape(s, nr * nc, (h + 1) * (w + 1) * g)
+        [jax.lax.dynamic_slice_in_dim(rows_z, cbase + z, w, axis=3)
+         for z in range(nc)], axis=2)                  # [S, nr, nc, h, w, G]
+    win_flat = win_z.reshape(s, nr * nc, h * w * g).astype(cd)
 
-    zidx = (rowstart - rbase) * nc + (colstart - cbase)     # [S, K]
-    zsel = (zidx[:, :, None] ==
-            jnp.arange(nr * nc, dtype=jnp.int32)).astype(jnp.float32)
-    win = jnp.einsum("skz,szp->skp", zsel, win_flat).reshape(
-        s, k, h + 1, w + 1, g)
-
-    ayb = ay[:, :, None, None, None]
-    axb = ax[:, :, None, None, None]
-    ybl0 = (1.0 - ayb) * win[:, :, 0:h, 0:w] + ayb * win[:, :, 1:h + 1, 0:w]
-    ybl1 = (1.0 - ayb) * win[:, :, 0:h, 1:w + 1] + \
-        ayb * win[:, :, 1:h + 1, 1:w + 1]
-    out = (1.0 - axb) * ybl0 + axb * ybl1                 # [S,K,h(q0),w(q1)]
+    ri = rowstart - rbase                              # [S, K]
+    ci = colstart - cbase
+    ar = jnp.arange(nr, dtype=jnp.int32)
+    ac = jnp.arange(nc, dtype=jnp.int32)
+    rowsel = ((1.0 - ay)[:, :, None] * (ri[:, :, None] == ar)
+              + ay[:, :, None] * ((ri + 1)[:, :, None] == ar))  # [S, K, nr]
+    colsel = ((1.0 - ax)[:, :, None] * (ci[:, :, None] == ac)
+              + ax[:, :, None] * ((ci + 1)[:, :, None] == ac))  # [S, K, nc]
+    zsel = (rowsel[:, :, :, None] * colsel[:, :, None, :]).reshape(
+        s, k, nr * nc).astype(cd)
+    out = jnp.einsum("skz,szp->skp", zsel, win_flat).astype(
+        jnp.float32).reshape(s, k, h, w, g)            # [S,K,h(q0),w(q1)]
 
     # flat query order of _ref_points(h, w).reshape(h*w, 2): n = q1*h + q0
     out = jnp.transpose(out, (0, 3, 2, 1, 4))             # [S,q1,q0,K,G]
