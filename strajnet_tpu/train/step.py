@@ -30,13 +30,23 @@ from strajnet_tpu.objective.metrics import (
 )
 
 
+# Model-input rasters: the model itself casts these to its compute dtype
+# (models/swin.py ogm/map astype), so compact uint8/f16 feeds pass through
+# unwidened — uint8 -> bf16 directly instead of via a materialized f32
+# copy. Exact either way: the grids are {0,1} and the map values k/256 are
+# representable in bf16/f16/f32 alike.
+_MODEL_RASTER_KEYS = ("ogm", "map_image")
+
+
 def ensure_f32(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     """Casts compact-fed arrays (uint8 grids, f16 map — data/schema.py
-    ``compact=True``) back to f32 inside the jitted step. The cast fuses
-    into the consumers; feeding compact dtypes cuts host->device bytes
-    2.3x with bit-identical downstream numerics."""
+    ``compact=True``) back to f32 inside the jitted step, except the
+    model-input rasters (see _MODEL_RASTER_KEYS). The cast fuses into the
+    consumers; feeding compact dtypes cuts host->device bytes 2.3x with
+    bit-identical downstream numerics."""
     return {k: (v.astype(jnp.float32)
-                if hasattr(v, "dtype") and v.dtype != jnp.float32 else v)
+                if (hasattr(v, "dtype") and v.dtype != jnp.float32
+                    and k not in _MODEL_RASTER_KEYS) else v)
             for k, v in batch.items()}
 
 

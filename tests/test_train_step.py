@@ -76,6 +76,32 @@ def test_eval_step_losses_and_metrics(state):
     assert np.isfinite(float(losses["total"]))
 
 
+def test_eval_step_compact_batch_matches_f32(state):
+    """A compact-dtype batch (uint8 grids, f16 map — the pipeline's
+    compact=True feed) produces the same losses/metrics as the f32 feed:
+    ensure_f32 + the model's own raster casts make the paths identical."""
+    estep = make_eval_step(TASK, LossConfig(), CFG.num_waypoints)
+    full = _jnp_batch(2, seed=3)
+    # binarize the grids so uint8 represents them exactly (the real
+    # pipeline's grids are {0,1} by construction)
+    for k in ("ogm", "gt_obs_ogm", "gt_occ_ogm"):
+        full[k] = (full[k] > 0.5).astype(jnp.float32)
+    compact = dict(full)
+    for k in ("ogm", "gt_obs_ogm", "gt_occ_ogm"):
+        compact[k] = full[k].astype(jnp.uint8)
+    compact["map_image"] = full["map_image"].astype(jnp.float16)
+    # f16 is exact only for the k/256 map values; synthetic maps aren't,
+    # so reference losses are computed from the f16-rounded map.
+    full["map_image"] = compact["map_image"].astype(jnp.float32)
+
+    lf, mf = estep(state, full)
+    lc, mc = estep(state, compact)
+    for k in lf:
+        np.testing.assert_allclose(float(lc[k]), float(lf[k]), rtol=1e-6, err_msg=k)
+    for k in mf:
+        np.testing.assert_allclose(float(mc[k]), float(mf[k]), rtol=1e-6, err_msg=k)
+
+
 def test_accumulating_step_matches_per_step_losses(state, train_step):
     """accumulate=True returns running on-device loss sums identical to
     summing the per-step loss dicts (the no-host-sync training-loop path)."""
