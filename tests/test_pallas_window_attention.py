@@ -66,6 +66,40 @@ def test_fused_window_attention_matches_xla(shape, shift):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("wpp", [1, 2])
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_window_attention_narrow_strips(shift, wpp):
+    """windows_per_program < full row: forward + input-grad parity vs the
+    XLA reference (same math, narrower dense strips)."""
+    b, h, w, c, ws, heads = 2, 16, 16, 8, 4, 2
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)
+    wqkv = jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    rel_bias = jnp.asarray(
+        rng.randn(heads, ws * ws, ws * ws).astype(np.float32) * 0.3)
+    mask = (jnp.asarray(shifted_window_mask(h, w, ws, shift))
+            if shift > 0 else None)
+    cot = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    def loss(fn):
+        return lambda xx: jnp.sum(fn(xx) * cot)
+
+    ref_fn = loss(lambda xx: _xla_reference(
+        xx, wqkv, bqkv, wproj, bproj, rel_bias, mask, ws, heads))
+    our_fn = loss(lambda xx: fused_window_attention(
+        xx, wqkv, bqkv, wproj, bproj, rel_bias, mask, window_size=ws,
+        num_heads=heads, interpret=True, windows_per_program=wpp))
+
+    y_ref, g_ref = jax.value_and_grad(ref_fn)(x)
+    y_our, g_our = jax.value_and_grad(our_fn)(x)
+    np.testing.assert_allclose(float(y_our), float(y_ref), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_our), np.asarray(g_ref),
+                               rtol=4e-3, atol=4e-3)
+
+
 def test_model_pallas_path_matches_xla_forward_and_grad():
     """Full tiny STrajNet with use_pallas_attention on vs off: identical
     forward outputs and parameter gradients (the training path now runs the
