@@ -47,6 +47,10 @@ def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
     eval_step = make_eval_step(WAYMO_TASK_CONFIG, LossConfig(),
                                cfg.num_waypoints, no_warp=no_warp)
     acc = MetricsAccumulator("val", no_warp=no_warp)
+    # Loss scalars accumulate as async device-side adds; the single host
+    # fetch happens after the loop (a per-batch float() here round-trips
+    # the remote-TPU tunnel every eval batch — same pattern as
+    # MetricsAccumulator / the training loop's LossMeans).
     losses_sum, n = {}, 0
     for batch in as_numpy(make_eval_dataset(file_pattern, batch_size,
                                             compact=True)):
@@ -54,10 +58,12 @@ def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
         losses, metrics = eval_step(state, jbatch)
         acc.update_state(metrics)
         for k, v in losses.items():
-            losses_sum[k] = losses_sum.get(k, 0.0) + float(v)
+            prev = losses_sum.get(k)
+            losses_sum[k] = v if prev is None else prev + v
         n += 1
     res = acc.get_result()
-    res.update({f"val_{k}": v / max(n, 1) for k, v in losses_sum.items()})
+    res.update({f"val_{k}": float(v) / max(n, 1)
+                for k, v in losses_sum.items()})
     print_metrics(res, "val", no_warp=no_warp)
     print(json.dumps(res))
     return res

@@ -43,27 +43,42 @@ def load_scenario_ids(ids_dir: str, test: bool = True) -> Set[str]:
 
 
 def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
-              save_dir: str) -> int:
+              save_dir: str, batch_size: int = 8) -> int:
+    """Predicts one test shard and writes its submission binproto.
+
+    Scenarios run through the model ``batch_size`` at a time with ONE host
+    fetch per batch (the reference predicts per scenario, inference.py:
+    145-158 — per-sample fetches serialize on the device link), then the
+    quantizer slices per-scenario views out of the fetched arrays.
+    """
+    import numpy as np
+
+    from strajnet_tpu.objective.loss import WaypointGrids
+
     print(f"Creating submission for test shard "
           f"{os.path.basename(shard_path)}...")
     submission = ChallengeSubmission()
     count = 0
-    for batch in as_numpy(make_test_dataset(shard_path, batch_size=1,
+    for batch in as_numpy(make_test_dataset(shard_path,
+                                            batch_size=batch_size,
                                             compact=True)):
-        sc_id = batch.pop("scenario/id")[0]
-        if isinstance(sc_id, bytes):
-            sc_id = sc_id.decode("utf-8")
+        sc_ids = [s.decode("utf-8") if isinstance(s, bytes) else s
+                  for s in batch.pop("scenario/id")]
         if ids is not None:
-            assert sc_id in ids, sc_id
+            for sc_id in sc_ids:
+                assert sc_id in ids, sc_id
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         # GT fields absent at test time; predict path does not use them.
         for key in ("gt_obs_ogm", "gt_occ_ogm", "gt_flow", "origin_flow"):
             jbatch.setdefault(key, None)
-        pred_waypoints = predict_step(state, jbatch)
-        submission.scenario_predictions.append(ScenarioPrediction(
-            scenario_id=sc_id,
-            waypoints=quantize_waypoints(pred_waypoints)))
-        count += 1
+        pred = predict_step(state, jbatch)
+        pred_np = WaypointGrids(*(np.asarray(a) for a in pred))
+        for i, sc_id in enumerate(sc_ids):
+            per = WaypointGrids(*(a[i:i + 1] for a in pred_np))
+            submission.scenario_predictions.append(ScenarioPrediction(
+                scenario_id=sc_id,
+                waypoints=quantize_waypoints(per)))
+            count += 1
     path = save_submission(submission, save_dir, shard_path)
     print(f"Saving {count} scenario predictions to {path}...")
     return count
@@ -80,6 +95,8 @@ def main():
     p.add_argument("--weight_path", type=str, default="",
                    help="Orbax checkpoint directory")
     p.add_argument("--no_id_check", action="store_true")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="scenarios per device batch (one host fetch each)")
     p.add_argument("--split", type=str, default="test",
                    choices=["test", "val"],
                    help="scenario-id whitelist to validate against "
@@ -108,7 +125,8 @@ def main():
     print(f"{len(shards)} found, start loading dataset")
     total = 0
     for shard in shards:
-        total += run_shard(state, predict_step, shard, ids, args.save_dir)
+        total += run_shard(state, predict_step, shard, ids, args.save_dir,
+                           batch_size=args.batch_size)
     print(total)
 
 
