@@ -1,6 +1,6 @@
 """TPU probe: one flagship train step, parameterized by Pallas mode/batch.
 
-Usage: python -u tools/probe_train_tpu.py <mode> <batch> [donate] [accum] [wpp]
+Usage: python -u tools/probe_train_tpu.py <mode> <batch> [donate] [accum] [wpp] [remat]
   mode: attn | block | none   (use_pallas_attention)
 Mirrors bench.bench_training exactly (donate+accumulate step, synthetic
 batch) so a pass here predicts a green bench training phase.
@@ -24,6 +24,7 @@ batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 donate = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
 accumulate = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 wpp = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = full-row strips
+remat = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 mode = {"attn": "attn", "block": "block", "none": False}[mode_arg]
 
 import dataclasses
@@ -35,7 +36,8 @@ from strajnet_tpu.train.state import create_train_state
 from strajnet_tpu.train.step import make_train_step, zero_loss_sums
 
 cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
-                          pallas_windows_per_program=wpp or None)
+                          pallas_windows_per_program=wpp or None,
+                          remat_encoder=remat)
 print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
       f"donate={donate} accumulate={accumulate}", flush=True)
 
