@@ -96,13 +96,14 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float,
     cbase = (1 - w - cb) - 1 + pw
     nr = h + 2 * cb + 2   # +1 window starts, +1 for the dy=1 corner
     nc = w + 2 * cb + 2
+    tpc = tp.astype(cd)  # enumerated windows never materialize wider
     rows_z = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(tp, rbase + z, h, axis=1)
+        [jax.lax.dynamic_slice_in_dim(tpc, rbase + z, h, axis=1)
          for z in range(nr)], axis=1)                  # [S, nr, h, Wp, G]
     win_z = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(rows_z, cbase + z, w, axis=3)
          for z in range(nc)], axis=2)                  # [S, nr, nc, h, w, G]
-    win_flat = win_z.reshape(s, nr * nc, h * w * g).astype(cd)
+    win_flat = win_z.reshape(s, nr * nc, h * w * g)
 
     ri = rowstart - rbase                              # [S, K]
     ci = colstart - cbase
