@@ -1,6 +1,6 @@
 """TPU probe: flagship forward throughput by Pallas mode.
 
-Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp]
+Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp] [compact]
   mode: attn | block | none   (use_pallas_attention)
 Mirrors bench.bench_inference (fori_loop-amortized dispatch).
 """
@@ -28,13 +28,18 @@ from strajnet_tpu.config import STRAJNET_CONFIG
 from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
 wpp = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = full-row strips
+compact = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
                           pallas_windows_per_program=wpp or None)
 print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
-      f"wpp={wpp or 'row'}", flush=True)
+      f"wpp={wpp or 'row'} compact={compact}", flush=True)
 
 model = STrajNet(cfg=cfg)
 inputs = dummy_inputs(cfg, batch=batch, dtype=jnp.float32)
+if compact:
+    # production feed dtypes (compact pipeline): uint8 grids, f16 map
+    inputs["ogm"] = inputs["ogm"].astype(jnp.uint8)
+    inputs["map_img"] = inputs["map_img"].astype(jnp.float16)
 params = model.init(jax.random.PRNGKey(0), **inputs)
 
 
