@@ -32,7 +32,8 @@ from strajnet_tpu.train.step import make_eval_step
 
 
 def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
-             use_pallas: bool = True, no_warp: bool = False):
+             use_pallas: bool = True, no_warp: bool = False,
+             compact: bool = True):
     cfg = dataclasses.replace(STRAJNET_CONFIG,
                               use_pallas_attention=use_pallas)
     state = create_train_state(cfg, TrainConfig())
@@ -53,7 +54,7 @@ def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
     # MetricsAccumulator / the training loop's LossMeans).
     losses_sum, n = {}, 0
     for batch in as_numpy(make_eval_dataset(file_pattern, batch_size,
-                                            compact=True)):
+                                            compact=compact)):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         losses, metrics = eval_step(state, jbatch)
         acc.update_state(metrics)
@@ -76,9 +77,12 @@ def main():
     p.add_argument("--weight_path", type=str, default="")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--no_compact", action="store_true",
+                   help="feed f32 from the host instead of uint8/f16")
     args = p.parse_args()
     evaluate(f"{args.file_dir}/val/*.tfrecords", args.weight_path,
-             args.batch_size, use_pallas=not args.no_pallas)
+             args.batch_size, use_pallas=not args.no_pallas,
+             compact=not args.no_compact)
 
 
 if __name__ == "__main__":

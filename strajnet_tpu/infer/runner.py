@@ -43,13 +43,17 @@ def load_scenario_ids(ids_dir: str, test: bool = True) -> Set[str]:
 
 
 def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
-              save_dir: str, batch_size: int = 8) -> int:
+              save_dir: str, batch_size: int = 8,
+              compact: bool = True) -> int:
     """Predicts one test shard and writes its submission binproto.
 
     Scenarios run through the model ``batch_size`` at a time with ONE host
     fetch per batch (the reference predicts per scenario, inference.py:
     145-158 — per-sample fetches serialize on the device link), then the
-    quantizer slices per-scenario views out of the fetched arrays.
+    quantizer slices per-scenario views out of the fetched arrays. The
+    final partial batch is padded back up to ``batch_size`` (padded rows
+    discarded after the fetch) so the jitted predict program compiles for
+    exactly one shape across the whole submission run.
     """
     import numpy as np
 
@@ -61,12 +65,17 @@ def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
     count = 0
     for batch in as_numpy(make_test_dataset(shard_path,
                                             batch_size=batch_size,
-                                            compact=True)):
+                                            compact=compact)):
         sc_ids = [s.decode("utf-8") if isinstance(s, bytes) else s
                   for s in batch.pop("scenario/id")]
         if ids is not None:
             for sc_id in sc_ids:
                 assert sc_id in ids, sc_id
+        pad = batch_size - len(sc_ids)
+        if pad > 0:
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                for k, v in batch.items()}
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         # GT fields absent at test time; predict path does not use them.
         for key in ("gt_obs_ogm", "gt_occ_ogm", "gt_flow", "origin_flow"):
@@ -97,6 +106,8 @@ def main():
     p.add_argument("--no_id_check", action="store_true")
     p.add_argument("--batch_size", type=int, default=8,
                    help="scenarios per device batch (one host fetch each)")
+    p.add_argument("--no_compact", action="store_true",
+                   help="feed f32 from the host instead of uint8/f16")
     p.add_argument("--split", type=str, default="test",
                    choices=["test", "val"],
                    help="scenario-id whitelist to validate against "
@@ -126,7 +137,8 @@ def main():
     total = 0
     for shard in shards:
         total += run_shard(state, predict_step, shard, ids, args.save_dir,
-                           batch_size=args.batch_size)
+                           batch_size=args.batch_size,
+                           compact=not args.no_compact)
     print(total)
 
 

@@ -385,6 +385,8 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     n = ws * ws
     n_win_w = w // ws
     wpp = windows_per_program
+    if wpp is not None and wpp <= 0:
+        wpp = None  # 0/negative = unset (probe convention: 0 = full row)
     if wpp is not None and (wpp > n_win_w or n_win_w % wpp):
         wpp = None  # fall back to full-row strips at incompatible widths
     use_mask = mask is not None

@@ -115,8 +115,9 @@ def rpe_window_bias(table: jax.Array, pos: jax.Array, q_hw, bound: float,
               + ax[:, :, None] * ((ci + 1)[:, :, None] == ac))  # [S, K, nc]
     zsel = (rowsel[:, :, :, None] * colsel[:, :, None, :]).reshape(
         s, k, nr * nc).astype(cd)
-    out = jnp.einsum("skz,szp->skp", zsel, win_flat).astype(
-        jnp.float32).reshape(s, k, h, w, g)            # [S,K,h(q0),w(q1)]
+    out = jnp.einsum("skz,szp->skp", zsel, win_flat,
+                     preferred_element_type=jnp.float32).reshape(
+        s, k, h, w, g)                                 # [S,K,h(q0),w(q1)]
 
     # flat query order of _ref_points(h, w).reshape(h*w, 2): n = q1*h + q0
     out = jnp.transpose(out, (0, 3, 2, 1, 4))             # [S,q1,q0,K,G]

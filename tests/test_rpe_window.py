@@ -46,6 +46,26 @@ def test_matches_einsum_path(gh, spread):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_bf16_compute_dtype_close_to_f32():
+    """The production FGMSA path passes compute_dtype=bf16 (fgmsa.py); pin
+    its accuracy against the f32 path so a cast-placement regression (e.g.
+    bf16 accumulation) cannot hide behind the f32-only equivalence tests."""
+    h = w = 8
+    s, k = 3, h * w
+    rng = np.random.RandomState(5)
+    table = jnp.asarray(rng.randn(s, 2 * h - 1, 2 * w - 1, 2) * 0.1,
+                        jnp.float32)
+    ref = _ref_points(h, w, jnp.float32).reshape(1, k, 2)
+    pos = ref + jnp.asarray(rng.uniform(-4, 4, (s, k, 2)), jnp.float32)
+
+    f32 = np.asarray(rpe_window_bias(table, pos, (h, w), bound=4.0))
+    b16 = np.asarray(rpe_window_bias(table, pos, (h, w), bound=4.0,
+                                     compute_dtype=jnp.bfloat16))
+    # one bf16 rounding of operands + f32-accumulated contraction:
+    # error stays at the operand-rounding scale (~2^-8 relative)
+    assert np.abs(b16 - f32).max() <= 8e-3 * max(np.abs(f32).max(), 1e-6)
+
+
 def test_gradients_match():
     h = w = 8
     s, k = 2, h * w

@@ -33,8 +33,15 @@ B = int(os.environ.get("PROFILE_BATCH", "16"))
 ITERS = int(os.environ.get("PROFILE_ITERS", "20"))
 dt = jnp.bfloat16
 
+_KNOWN_PARTS = {"full", "encoder", "fgmsa", "fgmsa_nope", "trajnet",
+                "decoder", "enc_embed", "enc_flow", "enc_stage0",
+                "enc_stage1", "enc_stage2"}
 PARTS = set(sys.argv[1:]) or {"full", "encoder", "fgmsa", "trajnet",
                               "decoder"}
+_unknown = PARTS - _KNOWN_PARTS
+if _unknown:  # fail fast, before minutes of model init / compile
+    sys.exit(f"unknown part(s): {sorted(_unknown)}; "
+             f"choose from {sorted(_KNOWN_PARTS)}")
 
 
 def device_time(name, fn, params, inputs, probe_key):
