@@ -173,8 +173,9 @@ class ModelConfig:
     # spends a factor (width) of its logits/softmax arithmetic on masked
     # cross-window pairs, so narrower strips do proportionally less work
     # but dispatch more, smaller matmuls — a TPU tuning knob
-    # (ops/pallas_window_attention.py).
-    pallas_windows_per_program: Optional[int] = None
+    # (ops/pallas_window_attention.py). An int applies to every stage;
+    # a tuple gives per-stage widths (flow branch = stage 0's entry).
+    pallas_windows_per_program: Union[int, Tuple[int, ...], None] = None
 
     # Rematerialize encoder Swin blocks in the backward (jax.checkpoint /
     # nn.remat): recompute each block's forward instead of storing its

@@ -425,7 +425,8 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = (0.0,)
     downsample: bool = False
     use_pallas: Union[bool, str] = False
-    windows_per_program: Optional[int] = None
+    # int (all stages), or a per-stage tuple indexed by stage
+    windows_per_program: Union[int, Tuple[int, ...], None] = None
     remat: bool = False
     spatial_shard: bool = False
     dtype: Dtype = jnp.float32
@@ -565,7 +566,8 @@ class SwinTransformerEncoder(nn.Module):
     use_flow: bool = True
     large_input: bool = True
     use_pallas: Union[bool, str] = False
-    windows_per_program: Optional[int] = None
+    # int (all stages), or a per-stage tuple indexed by stage
+    windows_per_program: Union[int, Tuple[int, ...], None] = None
     remat: bool = False
     spatial_shard: bool = False
     dtype: Dtype = jnp.float32
@@ -581,6 +583,12 @@ class SwinTransformerEncoder(nn.Module):
         dt = self.dtype
 
         def make_stage(i, name, downsample):
+            # windows_per_program: one global width, or a per-stage
+            # sequence indexed by stage (the flow branch shares stage 0's
+            # geometry and entry).
+            wpp = self.windows_per_program
+            if isinstance(wpp, (tuple, list)):
+                wpp = wpp[i] if i < len(wpp) else None
             return BasicLayer(
                 dim=int(self.embed_dim * 2 ** i),
                 input_resolution=(pr[0] // (2 ** i), pr[1] // (2 ** i)),
@@ -591,7 +599,7 @@ class SwinTransformerEncoder(nn.Module):
                 drop_path=tuple(dpr[sum(self.depths[:i]):
                                     sum(self.depths[:i + 1])]),
                 downsample=downsample, use_pallas=self.use_pallas,
-                windows_per_program=self.windows_per_program,
+                windows_per_program=wpp,
                 remat=self.remat, spatial_shard=self.spatial_shard,
                 dtype=dt, name=name)
 

@@ -1,6 +1,6 @@
 """TPU probe: flagship forward throughput by Pallas mode.
 
-Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp] [compact]
+Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp|w0,w1,w2] [compact]
   mode: attn | block | none   (use_pallas_attention)
 Mirrors bench.bench_inference (fori_loop-amortized dispatch).
 """
@@ -27,7 +27,9 @@ import dataclasses
 from strajnet_tpu.config import STRAJNET_CONFIG
 from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
-wpp = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = full-row strips
+_w = sys.argv[3] if len(sys.argv) > 3 else "0"  # 0 = full-row strips
+wpp = (tuple(int(x) or None for x in _w.split(","))
+       if "," in _w else int(_w))
 compact = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
                           pallas_windows_per_program=wpp or None)
