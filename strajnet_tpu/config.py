@@ -177,6 +177,11 @@ class ModelConfig:
     # a tuple gives per-stage widths (flow branch = stage 0's entry).
     pallas_windows_per_program: Union[int, Tuple[int, ...], None] = None
 
+    # Batch samples per forward kernel program (must divide the batch;
+    # amortizes grid-step overhead when strips are narrow). Forward-only:
+    # the backward kernels always run one sample per program.
+    pallas_samples_per_program: int = 1
+
     # Rematerialize encoder Swin blocks in the backward (jax.checkpoint /
     # nn.remat): recompute each block's forward instead of storing its
     # LN/attention/MLP intermediates — trades ~1 extra forward of FLOPs

@@ -67,6 +67,7 @@ class STrajNet(nn.Module):
             large_input=cfg.large_input,
             use_pallas=use_pallas,
             windows_per_program=cfg.pallas_windows_per_program,
+            samples_per_program=cfg.pallas_samples_per_program,
             remat=cfg.remat_encoder,
             spatial_shard=cfg.spatial_shard, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)

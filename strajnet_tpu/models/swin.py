@@ -249,6 +249,7 @@ class SwinTransformerBlock(nn.Module):
     drop_path: float = 0.0
     use_pallas: Union[bool, str] = False
     windows_per_program: Optional[int] = None
+    samples_per_program: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -317,7 +318,8 @@ class SwinTransformerBlock(nn.Module):
                 ln1s, ln1b, ln2s, ln2b, w1.astype(dt), b1_, w2.astype(dt),
                 b2_, jnp.asarray(mask) if mask is not None else None,
                 dpm, window_size=window_size, num_heads=self.num_heads,
-                eps=1e-5, windows_per_program=self.windows_per_program)
+                eps=1e-5, windows_per_program=self.windows_per_program,
+                samples_per_program=self.samples_per_program)
             if shift_size > 0:
                 y = jnp.roll(y, shift=(shift_size, shift_size), axis=(1, 2))
             return y.reshape(-1, h * w, c)
@@ -427,6 +429,7 @@ class BasicLayer(nn.Module):
     use_pallas: Union[bool, str] = False
     # int (all stages), or a per-stage tuple indexed by stage
     windows_per_program: Union[int, Tuple[int, ...], None] = None
+    samples_per_program: int = 1
     remat: bool = False
     spatial_shard: bool = False
     dtype: Dtype = jnp.float32
@@ -450,6 +453,7 @@ class BasicLayer(nn.Module):
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
                 use_pallas=self.use_pallas,
                 windows_per_program=self.windows_per_program,
+                samples_per_program=self.samples_per_program,
                 dtype=self.dtype, name=f"blocks{i}")(x, deterministic)
             if self.spatial_shard:
                 # sp: tokens sharded over 'model' (row-major L = H*W, so
@@ -568,6 +572,7 @@ class SwinTransformerEncoder(nn.Module):
     use_pallas: Union[bool, str] = False
     # int (all stages), or a per-stage tuple indexed by stage
     windows_per_program: Union[int, Tuple[int, ...], None] = None
+    samples_per_program: int = 1
     remat: bool = False
     spatial_shard: bool = False
     dtype: Dtype = jnp.float32
@@ -600,6 +605,7 @@ class SwinTransformerEncoder(nn.Module):
                                     sum(self.depths[:i + 1])]),
                 downsample=downsample, use_pallas=self.use_pallas,
                 windows_per_program=wpp,
+                samples_per_program=self.samples_per_program,
                 remat=self.remat, spatial_shard=self.spatial_shard,
                 dtype=dt, name=name)
 

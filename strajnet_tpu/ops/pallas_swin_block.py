@@ -81,7 +81,7 @@ def _gelu_tanh_grad(z):
 def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
                 mask_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, w1_ref,
                 b1_ref, w2_ref, b2_ref, dp_ref, out_ref, *, window_size,
-                num_heads, head_dim, use_mask, eps):
+                num_heads, head_dim, use_mask, eps, bpp=1):
     ws = window_size
     c = x_ref.shape[-1]
     w_full = x_ref.shape[2]
@@ -91,46 +91,52 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     scale = head_dim ** -0.5
     dt = x_ref.dtype
 
-    xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
-    bi = pl.program_id(2)
-    dp1 = dp_ref[bi, 0]
-    dp2 = dp_ref[bi, 1]
-
-    h1, _, _ = _ln_f32(xw, ln1s_ref[0], ln1b_ref[0], eps)
-    h1b = h1.astype(dt)
-    qkv = jnp.dot(h1b, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dt)
-
     neg = _offdiag_neg(nt, n)
-    outs = []
-    for h in range(num_heads):
-        q, k, v = _heads_qkv(qkv, c, head_dim, h)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + relbig_ref[h].astype(jnp.float32) + neg
-        if use_mask:
-            s = s + mask_ref[0].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(dt), v,
-                            preferred_element_type=jnp.float32))
-    merged = jnp.concatenate(outs, axis=-1).astype(dt)
-    att = jnp.dot(merged, wproj_ref[:], preferred_element_type=jnp.float32)
-    att = att + bproj_ref[:].astype(jnp.float32)
+    # bpp samples per program: amortizes grid-step overhead over more work
+    # without widening the dense strips (waste stays proportional to the
+    # strip width, not bpp).
+    for j in range(bpp):
+        xw = _window_major(x_ref[j], ws, n_win, c)       # [N, C]
+        bi = pl.program_id(2) * bpp + j
+        dp1 = dp_ref[bi, 0]
+        dp2 = dp_ref[bi, 1]
 
-    r1 = (xw.astype(jnp.float32) + dp1 * att).astype(dt)
+        h1, _, _ = _ln_f32(xw, ln1s_ref[0], ln1b_ref[0], eps)
+        h1b = h1.astype(dt)
+        qkv = jnp.dot(h1b, wqkv_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dt)
 
-    h2, _, _ = _ln_f32(r1, ln2s_ref[0], ln2b_ref[0], eps)
-    h2b = h2.astype(dt)
-    z1 = jnp.dot(h2b, w1_ref[:], preferred_element_type=jnp.float32)
-    z1 = z1 + b1_ref[:].astype(jnp.float32)
-    g1 = _gelu_tanh(z1).astype(dt)
-    z2 = jnp.dot(g1, w2_ref[:], preferred_element_type=jnp.float32)
-    z2 = z2 + b2_ref[:].astype(jnp.float32)
+        outs = []
+        for h in range(num_heads):
+            q, k, v = _heads_qkv(qkv, c, head_dim, h)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            s = s + relbig_ref[h].astype(jnp.float32) + neg
+            if use_mask:
+                s = s + mask_ref[0].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p.astype(dt), v,
+                                preferred_element_type=jnp.float32))
+        merged = jnp.concatenate(outs, axis=-1).astype(dt)
+        att = jnp.dot(merged, wproj_ref[:],
+                      preferred_element_type=jnp.float32)
+        att = att + bproj_ref[:].astype(jnp.float32)
 
-    out = (r1.astype(jnp.float32) + dp2 * z2).astype(dt)
-    out_ref[0] = _row_major(out, ws, n_win, c)
+        r1 = (xw.astype(jnp.float32) + dp1 * att).astype(dt)
+
+        h2, _, _ = _ln_f32(r1, ln2s_ref[0], ln2b_ref[0], eps)
+        h2b = h2.astype(dt)
+        z1 = jnp.dot(h2b, w1_ref[:], preferred_element_type=jnp.float32)
+        z1 = z1 + b1_ref[:].astype(jnp.float32)
+        g1 = _gelu_tanh(z1).astype(dt)
+        z2 = jnp.dot(g1, w2_ref[:], preferred_element_type=jnp.float32)
+        z2 = z2 + b2_ref[:].astype(jnp.float32)
+
+        out = (r1.astype(jnp.float32) + dp2 * z2).astype(dt)
+        out_ref[j] = _row_major(out, ws, n_win, c)
 
 
 def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
@@ -278,11 +284,11 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
-                   eps: float, interpret: bool, wpp=None):
+                   eps: float, interpret: bool, wpp=None, bpp=1):
     ws = window_size
 
-    def specs(b, h, w, c, wpp_, n):
-        xspec = pl.BlockSpec((1, ws, wpp_ * ws, c),
+    def specs(b, h, w, c, wpp_, n, bpp_=1):
+        xspec = pl.BlockSpec((bpp_, ws, wpp_ * ws, c),
                              lambda gr, gc, bi: (bi, gr, gc, 0),
                              memory_space=pltpu.VMEM)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -310,14 +316,15 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
         head_dim = c // num_heads
         n = ws * ws
         wpp_ = (w // ws) if wpp is None else wpp
-        grid = (h // ws, w // (ws * wpp_), b)
+        bpp_ = bpp if b % bpp == 0 else 1
+        grid = (h // ws, w // (ws * wpp_), b // bpp_)
         kernel = functools.partial(_fwd_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
-                                   use_mask=use_mask, eps=eps)
+                                   use_mask=use_mask, eps=eps, bpp=bpp_)
         (wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b, ln2s, ln2b,
          w1, b1, w2, b2) = args
         relbig = _relbig(rel_bias, wpp_)
-        xspec, ins = specs(b, h, w, c, wpp_, n)
+        xspec, ins = specs(b, h, w, c, wpp_, n, bpp_)
         return pl.pallas_call(
             kernel, grid=grid, in_specs=ins, out_specs=xspec,
             out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
@@ -412,7 +419,8 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
 
 @functools.partial(jax.jit, static_argnames=("window_size", "num_heads",
                                              "eps", "interpret",
-                                             "windows_per_program"))
+                                             "windows_per_program",
+                                             "samples_per_program"))
 def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
                      ln1_scale, ln1_bias, ln2_scale, ln2_bias,
                      w1, b1, w2, b2,
@@ -420,7 +428,8 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
                      drop_path: Optional[jax.Array] = None,
                      *, window_size: int, num_heads: int, eps: float = 1e-5,
                      interpret: bool = False,
-                     windows_per_program: Optional[int] = None) -> jax.Array:
+                     windows_per_program: Optional[int] = None,
+                     samples_per_program: int = 1) -> jax.Array:
     """One Swin block (LN -> W-MSA -> +res -> LN -> MLP -> +res), fused.
 
     Args:
@@ -438,6 +447,10 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
         per-row window count; None = full row) — see
         fused_window_attention. Narrower strips waste less logits/softmax
         work on the masked cross-window pairs.
+      samples_per_program: batch samples processed per forward program
+        (must divide B; amortizes grid-step overhead when strips are
+        narrow). Forward-only: the backward kernel always runs one sample
+        per program.
 
     Returns:
       [B, H, W, C] block output.
@@ -465,5 +478,8 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
 
     args = (wqkv, bqkv, wproj, bproj, rel_bias.astype(jnp.float32),
             ln1_scale, ln1_bias, ln2_scale, ln2_bias, w1, b1, w2, b2)
-    fn = _make_block_fn(ws, num_heads, use_mask, eps, interpret, wpp)
+    spp = samples_per_program
+    if spp <= 0 or b % spp:
+        spp = 1
+    fn = _make_block_fn(ws, num_heads, use_mask, eps, interpret, wpp, spp)
     return fn(x, args, mask_in, dp)

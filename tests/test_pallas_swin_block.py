@@ -186,6 +186,31 @@ def test_fused_swin_block_narrow_strips(shift, wpp):
                                rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.parametrize("spp", [2, 4])
+def test_fused_swin_block_samples_per_program(spp):
+    """samples_per_program > 1 (forward batching inside one program) is
+    output-identical to the default, including per-sample drop-path
+    indexing across the packed samples."""
+    b, h, w, c, ws, heads = 4, 16, 16, 8, 4, 2
+    a = _make_inputs(b, h, w, c, ws, heads, seed=6)
+    mask = jnp.asarray(shifted_window_mask(h, w, ws, 2))
+    dp = np.full((b, 2), 1.0 / 0.9, np.float32)
+    dp[1, 0] = 0.0
+    dp[3, 1] = 0.0
+    dp = jnp.asarray(dp)
+
+    def run(spp_):
+        return fused_swin_block(
+            a["x"], a["wqkv"], a["bqkv"], a["wproj"], a["bproj"],
+            a["rel_bias"], a["ln1s"], a["ln1b"], a["ln2s"], a["ln2b"],
+            a["w1"], a["b1"], a["w2"], a["b2"], mask, dp,
+            window_size=ws, num_heads=heads, interpret=True,
+            windows_per_program=2, samples_per_program=spp_)
+
+    np.testing.assert_allclose(np.asarray(run(spp)), np.asarray(run(1)),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_model_narrow_strip_config_matches_xla():
     """pallas_windows_per_program plumbs config -> encoder -> kernels and
     keeps model-level forward parity with the XLA path."""

@@ -1,6 +1,6 @@
 """TPU probe: flagship forward throughput by Pallas mode.
 
-Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp|w0,w1,w2] [compact]
+Usage: python -u tools/probe_infer_tpu.py <mode> [batch] [wpp|w0,w1,w2] [compact] [spp]
   mode: attn | block | none   (use_pallas_attention)
 Mirrors bench.bench_inference (fori_loop-amortized dispatch).
 """
@@ -31,10 +31,12 @@ _w = sys.argv[3] if len(sys.argv) > 3 else "0"  # 0 = full-row strips
 wpp = (tuple(int(x) or None for x in _w.split(","))
        if "," in _w else int(_w))
 compact = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+spp = int(sys.argv[5]) if len(sys.argv) > 5 else 1  # samples/program
 cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
-                          pallas_windows_per_program=wpp or None)
+                          pallas_windows_per_program=wpp or None,
+                          pallas_samples_per_program=spp)
 print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
-      f"wpp={wpp or 'row'} compact={compact}", flush=True)
+      f"wpp={wpp or 'row'} compact={compact} spp={spp}", flush=True)
 
 model = STrajNet(cfg=cfg)
 inputs = dummy_inputs(cfg, batch=batch, dtype=jnp.float32)
