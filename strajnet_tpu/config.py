@@ -166,6 +166,8 @@ class ModelConfig:
     #   False    -> pure-XLA path
     #   "attn"   -> fused window-attention kernel only (LN/MLP in XLA)
     #   True or "block" -> fully fused Swin block kernel
+    #   "block_fwd" -> kernel forward, XLA-autodiff backward (gradient
+    #                  numerics identical to the pure-XLA path)
     use_pallas_attention: Optional[Union[bool, str]] = None
 
     # Dense-strip width of the Pallas attention/block kernels, in windows

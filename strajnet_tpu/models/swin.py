@@ -288,8 +288,16 @@ class SwinTransformerBlock(nn.Module):
                      and (deterministic
                           or (self.attn_drop == 0.0 and self.drop == 0.0)))
 
-        if pallas_ok and pallas_mode == "block":
-            from strajnet_tpu.ops.pallas_swin_block import fused_swin_block
+        if pallas_ok and pallas_mode in ("block", "block_fwd"):
+            from strajnet_tpu.ops.pallas_swin_block import (
+                fused_swin_block,
+                fused_swin_block_xla_bwd,
+            )
+
+            # "block_fwd": kernel forward, XLA-autodiff backward (gradient
+            # numerics identical to the pure-XLA path).
+            block_fn = (fused_swin_block if pallas_mode == "block"
+                        else fused_swin_block_xla_bwd)
 
             dt = self.dtype
             wqkv, bqkv, wproj, bproj, rel_bias = attn_mod.fused_params()
@@ -312,7 +320,7 @@ class SwinTransformerBlock(nn.Module):
                     draws.append(jnp.floor(
                         keep + jax.random.uniform(rng, (xb.shape[0],))) / keep)
                 dpm = jnp.stack(draws, axis=1)
-            y = fused_swin_block(
+            y = block_fn(
                 xb, wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
                 bproj.astype(dt), rel_bias.astype(jnp.float32),
                 ln1s, ln1b, ln2s, ln2b, w1.astype(dt), b1_, w2.astype(dt),

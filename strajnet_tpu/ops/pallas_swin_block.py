@@ -483,3 +483,110 @@ def fused_swin_block(x: jax.Array, wqkv, bqkv, wproj, bproj, rel_bias,
         spp = 1
     fn = _make_block_fn(ws, num_heads, use_mask, eps, interpret, wpp, spp)
     return fn(x, args, mask_in, dp)
+
+
+def _xla_block_reference(x, wqkv, bqkv, wproj, bproj, rel_bias, ln1s, ln1b,
+                         ln2s, ln2b, w1, b1, w2, b2, mask, dp, *,
+                         window_size, num_heads, eps):
+    """Pure-XLA twin of the fused block (same math, jnp ops) — the
+    backward of the hybrid mode autodiffs through this."""
+    b_, h, w, c = x.shape
+    ws = window_size
+    hd = c // num_heads
+    n = ws * ws
+
+    def ln(v, scale, bias):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(vf - mu), axis=-1, keepdims=True)
+        return (vf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+    dt = x.dtype
+    xn = ln(x, ln1s, ln1b).astype(dt)
+    xw = xn.reshape(b_, h // ws, ws, w // ws, ws, c)
+    xw = jnp.transpose(xw, (0, 1, 3, 2, 4, 5)).reshape(-1, n, c)
+    qkv = xw @ wqkv.astype(dt) + bqkv.astype(dt)
+    qkv = qkv.reshape(-1, n, 3, num_heads, hd)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + rel_bias[None].astype(attn.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(-1, nw, num_heads, n, n) + jnp.asarray(
+            mask, attn.dtype)[None, :, None]
+        attn = attn.reshape(-1, num_heads, n, n)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(dt)
+    out = jnp.einsum("bhnm,bhmd->bnhd", attn, v).reshape(-1, n, c)
+    out = out @ wproj.astype(dt) + bproj.astype(dt)
+    out = out.reshape(b_, h // ws, w // ws, ws, ws, c)
+    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(b_, h, w, c)
+    r1 = (x.astype(jnp.float32)
+          + dp[:, 0, None, None, None] * out.astype(jnp.float32)).astype(dt)
+    y = ln(r1, ln2s, ln2b).astype(dt)
+    y = _gelu_tanh((y @ w1.astype(dt)
+                    + b1.astype(dt)).astype(jnp.float32)).astype(dt)
+    y = y @ w2.astype(dt) + b2.astype(dt)
+    return (r1.astype(jnp.float32)
+            + dp[:, 1, None, None, None] * y.astype(jnp.float32)).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "num_heads",
+                                             "eps", "interpret",
+                                             "windows_per_program",
+                                             "samples_per_program"))
+def fused_swin_block_xla_bwd(x: jax.Array, wqkv, bqkv, wproj, bproj,
+                             rel_bias, ln1_scale, ln1_bias, ln2_scale,
+                             ln2_bias, w1, b1, w2, b2,
+                             mask: Optional[jax.Array] = None,
+                             drop_path: Optional[jax.Array] = None,
+                             *, window_size: int, num_heads: int,
+                             eps: float = 1e-5, interpret: bool = False,
+                             windows_per_program: Optional[int] = None,
+                             samples_per_program: int = 1) -> jax.Array:
+    """Hybrid block: Pallas-kernel FORWARD, XLA-autodiff BACKWARD.
+
+    The backward pass is exactly the gradient of the pure-XLA block
+    formulation at the same inputs (so training numerics match the XLA
+    path bit-for-bit on the gradient side), while the forward runs the
+    fused kernel. Useful both as a faster-forward training mode and as a
+    bisection tool for the full-program TPU fault in the backward kernels
+    (models/strajnet.py) — if training runs in this mode but crashes with
+    "block", the fault is in the backward kernel.
+    """
+    b = x.shape[0]
+    dp = (jnp.ones((b, 2), jnp.float32) if drop_path is None
+          else drop_path.astype(jnp.float32))
+    use_mask = mask is not None
+    mask_arg = mask if use_mask else jnp.zeros((), jnp.float32)
+
+    diff_args = (x, wqkv, bqkv, wproj, bproj, rel_bias, ln1_scale, ln1_bias,
+                 ln2_scale, ln2_bias, w1, b1, w2, b2)
+
+    # mask/dp ride as explicit (zero-cotangent) arguments: they may be
+    # tracers of the surrounding program, which custom_vjp closures must
+    # not capture.
+    @jax.custom_vjp
+    def hybrid(mask_a, dp_a, *args):
+        return fused_swin_block(
+            *args, mask_a if use_mask else None, dp_a,
+            window_size=window_size, num_heads=num_heads,
+            eps=eps, interpret=interpret,
+            windows_per_program=windows_per_program,
+            samples_per_program=samples_per_program)
+
+    def hybrid_fwd(mask_a, dp_a, *args):
+        return hybrid(mask_a, dp_a, *args), (mask_a, dp_a, args)
+
+    def hybrid_bwd(res, dy):
+        mask_a, dp_a, args = res
+        _, vjp = jax.vjp(
+            lambda *a: _xla_block_reference(
+                *a, mask_a if use_mask else None, dp_a,
+                window_size=window_size,
+                num_heads=num_heads, eps=eps), *args)
+        return (jnp.zeros_like(mask_a), jnp.zeros_like(dp_a)) + vjp(dy)
+
+    hybrid.defvjp(hybrid_fwd, hybrid_bwd)
+    return hybrid(mask_arg, dp, *diff_args)

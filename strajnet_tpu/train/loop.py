@@ -219,7 +219,7 @@ def main():
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 10-20 here")
     p.add_argument("--pallas", type=str, default="auto",
-                   choices=["auto", "off", "attn", "block"],
+                   choices=["auto", "off", "attn", "block", "block_fwd"],
                    help="Pallas kernel mode (off = pure XLA escape hatch; "
                         "attn = fused window attention only; block = fully "
                         "fused Swin block)")
@@ -235,7 +235,8 @@ def main():
         model_cfg = STRAJNET_TRAIN_PY_CONFIG
     import dataclasses as _dc
     if args.pallas != "auto":
-        mode = {"off": False, "attn": "attn", "block": "block"}[args.pallas]
+        mode = {"off": False, "attn": "attn", "block": "block",
+                "block_fwd": "block_fwd"}[args.pallas]
         model_cfg = _dc.replace(model_cfg, use_pallas_attention=mode)
     if args.remat:
         model_cfg = _dc.replace(model_cfg, remat_encoder=True)

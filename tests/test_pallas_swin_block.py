@@ -283,6 +283,42 @@ def test_model_block_path_batch2_matches_xla():
             path, np.abs(gp - gx).max(), scale)
 
 
+def test_model_block_fwd_hybrid_matches_xla():
+    """'block_fwd' (kernel forward, XLA-autodiff backward) matches the XLA
+    path on forward outputs and parameter gradients."""
+    import dataclasses
+
+    from strajnet_tpu.config import TINY_MODEL_CONFIG
+    from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
+
+    cfg_x = dataclasses.replace(TINY_MODEL_CONFIG, drop_path_rate=0.0)
+    cfg_h = dataclasses.replace(cfg_x, use_pallas_attention="block_fwd")
+    mx, mh = STrajNet(cfg=cfg_x), STrajNet(cfg=cfg_h)
+    inputs = dummy_inputs(cfg_x, batch=2)
+    rng = np.random.RandomState(9)
+    inputs["flow"] = jnp.asarray(
+        rng.randn(*inputs["flow"].shape).astype(np.float32))
+    params = mx.init(jax.random.PRNGKey(0), **inputs)
+    np.testing.assert_allclose(np.asarray(mh.apply(params, **inputs)),
+                               np.asarray(mx.apply(params, **inputs)),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(jnp.square(m.apply(
+                p, **inputs, training=True,
+                rngs={"dropout": jax.random.PRNGKey(1)})))
+        return f
+
+    gx = jax.grad(loss(mx))(params)
+    gh = jax.grad(loss(mh))(params)
+    gm = max(float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(gx))
+    worst = max(float(jnp.abs(a - b).max()) for a, b in
+                zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gh)))
+    assert worst <= 2e-2 * gm, (worst, gm)
+
+
 def test_model_attn_mode_batch2_matches_xla():
     """'attn' mode (fused window attention only) stays selectable and
     matches the XLA path at batch 2."""

@@ -25,7 +25,8 @@ donate = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
 accumulate = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 wpp = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = full-row strips
 remat = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
-mode = {"attn": "attn", "block": "block", "none": False}[mode_arg]
+mode = {"attn": "attn", "block": "block",
+        "block_fwd": "block_fwd", "none": False}[mode_arg]
 
 import dataclasses
 
