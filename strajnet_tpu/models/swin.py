@@ -354,7 +354,8 @@ class SwinTransformerBlock(nn.Module):
                 rel_bias.astype(jnp.float32),
                 jnp.asarray(mask) if mask is not None else None,
                 window_size=window_size, num_heads=self.num_heads,
-                windows_per_program=self.windows_per_program)
+                windows_per_program=self.windows_per_program,
+                samples_per_program=self.samples_per_program)
         else:
             x_windows = window_partition(x, window_size)
             x_windows = x_windows.reshape(-1, window_size * window_size, c)

@@ -76,7 +76,7 @@ def _heads_qkv(qkv, c, head_dim, h):
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
             mask_ref, out_ref, *, window_size, num_heads, head_dim,
-            use_mask):
+            use_mask, bpp=1):
     ws = window_size
     c = x_ref.shape[-1]
     w_full = x_ref.shape[2]
@@ -85,28 +85,33 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     nt = n_win * n
     scale = head_dim ** -0.5
 
-    xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
-    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
-
     neg = _offdiag_neg(nt, n)
-    outs = []
-    for h in range(num_heads):
-        q, k, v = _heads_qkv(qkv, c, head_dim, h)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + relbig_ref[h].astype(jnp.float32) + neg
-        if use_mask:
-            s = s + mask_ref[0].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(xw.dtype), v,
-                            preferred_element_type=jnp.float32))
-    merged = jnp.concatenate(outs, axis=-1).astype(xw.dtype)  # [N, C]
-    y = jnp.dot(merged, wproj_ref[:], preferred_element_type=jnp.float32)
-    y = y + bproj_ref[:].astype(jnp.float32)
-    out_ref[0] = _row_major(y, ws, n_win, c).astype(out_ref.dtype)
+    # bpp samples per forward program — amortizes grid-step overhead when
+    # strips are narrow (see fused_swin_block's samples_per_program).
+    for j in range(bpp):
+        xw = _window_major(x_ref[j], ws, n_win, c)       # [N, C]
+        qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
+
+        outs = []
+        for h in range(num_heads):
+            q, k, v = _heads_qkv(qkv, c, head_dim, h)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            s = s + relbig_ref[h].astype(jnp.float32) + neg
+            if use_mask:
+                s = s + mask_ref[0].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p.astype(xw.dtype), v,
+                                preferred_element_type=jnp.float32))
+        merged = jnp.concatenate(outs, axis=-1).astype(xw.dtype)  # [N, C]
+        y = jnp.dot(merged, wproj_ref[:],
+                    preferred_element_type=jnp.float32)
+        y = y + bproj_ref[:].astype(jnp.float32)
+        out_ref[j] = _row_major(y, ws, n_win, c).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, relbig_ref, mask_ref,
@@ -235,7 +240,7 @@ def _maskbig(mask, n_win_h, n_win_w, n, wpp=None):
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
-                   interpret: bool, wpp: Optional[int] = None):
+                   interpret: bool, wpp: Optional[int] = None, bpp: int = 1):
     """Builds the custom-vjp fused attention for a static geometry.
 
     ``wpp`` (windows per program) sets the strip width: each program
@@ -247,8 +252,8 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
     """
     ws = window_size
 
-    def specs(b, h, w, c, wpp_, n, with_bproj):
-        xspec = pl.BlockSpec((1, ws, wpp_ * ws, c),
+    def specs(b, h, w, c, wpp_, n, with_bproj, bpp_=1):
+        xspec = pl.BlockSpec((bpp_, ws, wpp_ * ws, c),
                              lambda gr, gc, bi: (bi, gr, gc, 0),
                              memory_space=pltpu.VMEM)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -271,13 +276,14 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
         head_dim = c // num_heads
         n = ws * ws
         wpp_ = (w // ws) if wpp is None else wpp
+        bpp_ = bpp if b % bpp == 0 else 1
         # grid (row, col-chunk, b): b iterates fastest, so the per-strip
         # mask block is fetched once per strip of windows.
-        grid = (h // ws, w // (ws * wpp_), b)
+        grid = (h // ws, w // (ws * wpp_), b // bpp_)
         kernel = functools.partial(_kernel, window_size=ws,
                                    num_heads=num_heads, head_dim=head_dim,
-                                   use_mask=use_mask)
-        xspec, ins = specs(b, h, w, c, wpp_, n, with_bproj=True)
+                                   use_mask=use_mask, bpp=bpp_)
+        xspec, ins = specs(b, h, w, c, wpp_, n, with_bproj=True, bpp_=bpp_)
         relbig = _relbig(rel_bias, wpp_)
         return pl.pallas_call(
             kernel,
@@ -351,15 +357,16 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
 
 @functools.partial(jax.jit, static_argnames=("window_size", "num_heads",
                                              "interpret",
-                                             "windows_per_program"))
+                                             "windows_per_program",
+                                             "samples_per_program"))
 def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                            wproj: jax.Array, bproj: jax.Array,
                            rel_bias: jax.Array,
                            mask: Optional[jax.Array] = None,
                            *, window_size: int, num_heads: int,
                            interpret: bool = False,
-                           windows_per_program: Optional[int] = None
-                           ) -> jax.Array:
+                           windows_per_program: Optional[int] = None,
+                           samples_per_program: int = 1) -> jax.Array:
     """Windowed MHA with bias/mask for pre-rolled, pre-normalized inputs.
 
     Args:
@@ -399,6 +406,9 @@ def fused_window_attention(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     else:
         mask_in = _maskbig(mask, h // ws, n_win_w, n, wpp)
 
-    fused = _make_fused_fn(ws, num_heads, use_mask, interpret, wpp)
+    spp = samples_per_program
+    if spp <= 0 or b % spp:
+        spp = 1
+    fused = _make_fused_fn(ws, num_heads, use_mask, interpret, wpp, spp)
     return fused(x, wqkv, bqkv, wproj, bproj, rel_bias.astype(jnp.float32),
                  mask_in)
