@@ -100,6 +100,30 @@ def test_fused_window_attention_narrow_strips(shift, wpp):
                                rtol=4e-3, atol=4e-3)
 
 
+def test_fused_window_attention_samples_per_program():
+    """samples_per_program packs batch samples into one forward program;
+    output-identical to the default."""
+    b, h, w, c, ws, heads = 4, 16, 16, 8, 4, 2
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)
+    wqkv = jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    rel_bias = jnp.asarray(
+        rng.randn(heads, ws * ws, ws * ws).astype(np.float32) * 0.3)
+    mask = jnp.asarray(shifted_window_mask(h, w, ws, 2))
+
+    def run(spp):
+        return fused_window_attention(
+            x, wqkv, bqkv, wproj, bproj, rel_bias, mask, window_size=ws,
+            num_heads=heads, interpret=True, windows_per_program=2,
+            samples_per_program=spp)
+
+    np.testing.assert_allclose(np.asarray(run(2)), np.asarray(run(1)),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_model_pallas_path_matches_xla_forward_and_grad():
     """Full tiny STrajNet with use_pallas_attention on vs off: identical
     forward outputs and parameter gradients (the training path now runs the
