@@ -53,8 +53,12 @@ def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
     quantizer slices per-scenario views out of the fetched arrays. The
     final partial batch is padded back up to ``batch_size`` (padded rows
     discarded after the fetch) so the jitted predict program compiles for
-    exactly one shape across the whole submission run.
+    exactly one shape across the whole submission run. Per-scenario
+    quantization (24 zlib compressions each) runs on a thread pool —
+    zlib releases the GIL, and a full test split is >1M compress calls.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     from strajnet_tpu.objective.loss import WaypointGrids
@@ -82,11 +86,16 @@ def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
             jbatch.setdefault(key, None)
         pred = predict_step(state, jbatch)
         pred_np = WaypointGrids(*(np.asarray(a) for a in pred))
-        for i, sc_id in enumerate(sc_ids):
-            per = WaypointGrids(*(a[i:i + 1] for a in pred_np))
+
+        def _quantize(i):
+            return quantize_waypoints(
+                WaypointGrids(*(a[i:i + 1] for a in pred_np)))
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            waypoint_lists = list(ex.map(_quantize, range(len(sc_ids))))
+        for sc_id, wps in zip(sc_ids, waypoint_lists):
             submission.scenario_predictions.append(ScenarioPrediction(
-                scenario_id=sc_id,
-                waypoints=quantize_waypoints(per)))
+                scenario_id=sc_id, waypoints=wps))
             count += 1
     path = save_submission(submission, save_dir, shard_path)
     print(f"Saving {count} scenario predictions to {path}...")
