@@ -43,7 +43,8 @@ class STrajNet(nn.Module):
         # XLA for training — the full train step with EITHER kernel's
         # backward crashes the TPU worker at batch 16 (batch 8 + every
         # standalone batch-16 kernel fwd+bwd pass; not an HBM OOM — the
-        # XLA-only step uses MORE memory and runs). Suspected
+        # XLA-only step uses MORE memory and runs; re-confirmed after the
+        # samples-per-program forward packing landed). Suspected
         # placement-dependent OOB in a kernel; tools/probe_train_tpu.py +
         # probe_attn_chain_tpu.py reproduce/bisect. Opt in explicitly with
         # use_pallas_attention="attn"|"block" (verified safe at batch<=8).
