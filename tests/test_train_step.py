@@ -154,3 +154,33 @@ def test_multi_device_mesh_step(state, train_step):
         l_mesh, _ = estep(s, sharded)
     assert float(l_single["total"]) == pytest.approx(
         float(l_mesh["total"]), rel=1e-4)
+
+
+@pytest.mark.slow
+def test_training_improves_challenge_metrics():
+    """~30 steps on a fixed synthetic set must measurably improve the
+    CHALLENGE metrics (observed PR-AUC and Soft-IoU) from init — tying the
+    loss implementation to the objective the reference is known for
+    (ref occu_metric.py:26-140, leaderboard README.md:11-17), not just to
+    its own loss value (which test_train_step_runs... already asserts)."""
+    state = create_train_state(CFG, TrainConfig(lr=1e-3, use_schedule=False))
+    step = make_train_step(TASK, LossConfig(), CFG.num_waypoints,
+                           donate=False)
+    estep = make_eval_step(TASK, LossConfig(), CFG.num_waypoints)
+    batch = _jnp_batch(4, seed=3)
+
+    def challenge_metrics(s):
+        _, m = estep(s, batch)
+        return (float(m["vehicles_observed_auc"]),
+                float(m["vehicles_observed_iou"]))
+
+    auc0, iou0 = challenge_metrics(state)
+    s = state
+    rng = jax.random.PRNGKey(2)
+    for _ in range(30):
+        rng, sub = jax.random.split(rng)
+        s, losses = step(s, batch, sub)
+    assert np.isfinite(float(losses["total"]))
+    auc1, iou1 = challenge_metrics(s)
+    assert auc1 > auc0, f"observed AUC did not improve: {auc0} -> {auc1}"
+    assert iou1 > iou0, f"observed Soft-IoU did not improve: {iou0} -> {iou1}"
