@@ -32,10 +32,15 @@ from strajnet_tpu.train.step import make_eval_step
 
 
 def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
-             use_pallas: bool = True, no_warp: bool = False,
+             pallas: str = "auto", no_warp: bool = False,
              compact: bool = True):
-    cfg = dataclasses.replace(STRAJNET_CONFIG,
-                              use_pallas_attention=use_pallas)
+    """``pallas`` takes the same mode choices as the train CLI
+    (train/loop.py ``--pallas``): auto | off | attn | block | block_fwd."""
+    cfg = STRAJNET_CONFIG
+    if pallas != "auto":
+        mode = {"off": False, "attn": "attn", "block": "block",
+                "block_fwd": "block_fwd"}[pallas]
+        cfg = dataclasses.replace(cfg, use_pallas_attention=mode)
     state = create_train_state(cfg, TrainConfig())
     if weight_path:
         ckpt = CheckpointManager(weight_path)
@@ -76,12 +81,14 @@ def main():
                    default="./Waymo_Dataset/preprocessed_data")
     p.add_argument("--weight_path", type=str, default="")
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--pallas", type=str, default="auto",
+                   choices=["auto", "off", "attn", "block", "block_fwd"],
+                   help="Pallas kernel mode (same choices as the train CLI)")
     p.add_argument("--no_compact", action="store_true",
                    help="feed f32 from the host instead of uint8/f16")
     args = p.parse_args()
     evaluate(f"{args.file_dir}/val/*.tfrecords", args.weight_path,
-             args.batch_size, use_pallas=not args.no_pallas,
+             args.batch_size, pallas=args.pallas,
              compact=not args.no_compact)
 
 

@@ -1,11 +1,14 @@
-"""TPU probe: bisect the attn-mode training worker crash.
+"""TPU probe: bisect the attn/block-mode training worker crash.
 
-Usage: python -u tools/probe_crash_bisect.py <part> [batch]
-  part: enc | model | modelloss | step
+Usage: python -u tools/probe_crash_bisect.py <part> [batch] [mode] [nblocks]
+  part: enc | model | modelloss | step | stage0 | stage1 | stage2
     enc       encoder-only grad (all three branches + patch embeds)
     model     full model fwd+bwd, sum-of-outputs loss (no OGM loss)
     modelloss full model + OGM loss/warp kernel (no optimizer)
     step      the real make_train_step (== tools/probe_train_tpu.py attn)
+    stageN    grad through ``nblocks`` chained Swin blocks (alternating
+              W-MSA / SW-MSA) at stage N's flagship geometry
+  mode: attn (default) | block
 Each part jits grad-wrt-params of a scalar loss. Inputs are passed as jit
 ARGUMENTS, never closed over: closed-over concrete arrays lower as inline
 stablehlo constants, and a 369 MB random OGM literal overflows the axon
@@ -28,13 +31,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 part = sys.argv[1]
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+mode = sys.argv[3] if len(sys.argv) > 3 else "attn"
+nblocks = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 import dataclasses
 
 from strajnet_tpu.config import STRAJNET_CONFIG
 
-cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention="attn")
-print(f"backend={jax.default_backend()} part={part} batch={B}", flush=True)
+cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode)
+print(f"backend={jax.default_backend()} part={part} batch={B} mode={mode}",
+      flush=True)
 
 dt = jnp.bfloat16
 
@@ -90,6 +96,34 @@ elif part == "step":
                           "probe_train_tpu.py"), "attn", str(B)])
     print("step rc:", rc, flush=True)
     sys.exit(rc)
+
+elif part.startswith("stage"):
+    from strajnet_tpu.models.swin import BasicLayer
+    import numpy as np
+
+    i = int(part[5:])
+    dim = cfg.embed_dim * 2 ** i
+    res = (cfg.input_size[0] // cfg.patch_size // 2 ** i,) * 2
+    layer = BasicLayer(
+        dim=dim, input_resolution=res, depth=nblocks,
+        num_heads=cfg.num_heads[i], window_size=cfg.window_size,
+        drop_path=(0.0,) * nblocks, downsample=False,
+        use_pallas=mode, dtype=dt)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, res[0] * res[1], dim), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x, True)
+
+    @jax.jit
+    def run(params, x):
+        def loss(p):
+            out = layer.apply(p, x.astype(dt), True)
+            out = out[0] if isinstance(out, (tuple, list)) else out
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return gsum(jax.grad(loss)(params))
+
+    t0 = time.perf_counter()
+    print(f"{part} x{nblocks} grad ok:", float(run(params, x)),
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
 
 elif part in ("model", "modelloss"):
     from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs

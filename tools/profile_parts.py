@@ -45,7 +45,11 @@ if _unknown:  # fail fast, before minutes of model init / compile
 
 
 def device_time(name, fn, params, inputs, probe_key):
-    """fn(params, inputs_dict) -> pytree; loops on device, returns ms/iter."""
+    """fn(params, inputs_dict) -> pytree; loops on device, returns ms/iter.
+
+    Also prints the part's compiled-program cost analysis (flops, bytes
+    accessed) and the achieved TFLOP/s / GB/s vs the v5e peaks — the
+    roofline attribution (PARITY.md)."""
     if name not in PARTS:
         return None
 
@@ -60,11 +64,27 @@ def device_time(name, fn, params, inputs, probe_key):
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
+    flops = bytes_ = 0.0
+    try:
+        ca = jax.jit(fn).lower(params, inputs).compile().cost_analysis()
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
     float(loop(params, inputs))  # compile + warmup
     t0 = time.perf_counter()
     float(loop(params, inputs))
     ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:12s}: {ms:8.2f} ms/batch{B}  ({B / ms * 1000:7.1f} scenes/s)")
+    line = (f"{name:12s}: {ms:8.2f} ms/batch{B}  "
+            f"({B / ms * 1000:7.1f} scenes/s)")
+    if flops:
+        tflops = flops / ms / 1e9     # flops / (ms*1e-3) / 1e12
+        gbs = bytes_ / ms / 1e6       # bytes / (ms*1e-3) / 1e9
+        line += (f"  {flops/1e9:7.1f} GF {bytes_/1e9:6.2f} GB"
+                 f"  -> {tflops:6.1f} TF/s ({tflops/197*100:4.1f}% MXU)"
+                 f" {gbs:6.0f} GB/s ({gbs/819*100:4.1f}% HBM)")
+    print(line, flush=True)
     return ms
 
 
