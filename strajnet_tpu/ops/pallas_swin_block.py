@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from strajnet_tpu.ops.pallas_window_attention import (_heads_qkv, _maskbig,
+from strajnet_tpu.ops.pallas_window_attention import (_BWD_SCRATCH,
+                                                      _heads_qkv, _maskbig,
                                                       _offdiag_neg, _relbig,
                                                       _row_major,
                                                       _window_major)
@@ -144,8 +145,8 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
                 b1_ref, w2_ref, b2_ref, dp_ref, dy_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
                 dbias_ref, dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref,
-                dw1_ref, db1_ref, dw2_ref, db2_ref, *, window_size,
-                num_heads, head_dim, use_mask, eps):
+                dw1_ref, db1_ref, dw2_ref, db2_ref, *scratch_refs,
+                window_size, num_heads, head_dim, use_mask, eps):
     ws = window_size
     c = x_ref.shape[-1]
     w_full = x_ref.shape[2]
@@ -156,15 +157,24 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     dt = x_ref.dtype
     bf = jnp.bfloat16
 
+    out_refs = (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref,
+                dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref, dw1_ref,
+                db1_ref, dw2_ref, db2_ref)
+    # scratch mode: accumulate in VMEM scratch (persistent across the
+    # sequential TPU grid), flush to the outputs once on the last step —
+    # see pallas_window_attention._BWD_SCRATCH.
+    accs = scratch_refs if scratch_refs else out_refs
+
     is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
                 & (pl.program_id(2) == 0))
 
     @pl.when(is_first)
     def _init():
-        for ref in (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref,
-                    dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref, dw1_ref,
-                    db1_ref, dw2_ref, db2_ref):
+        for ref in accs:
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
+    (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref, dln1s_ref,
+     dln1b_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref,
+     db2_ref) = accs
 
     xw = _window_major(x_ref[0], ws, n_win, c)
     dyw = _window_major(dy_ref[0], ws, n_win, c).astype(jnp.float32)
@@ -281,6 +291,16 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
     dxw = dr1 + dxw_ln
     dx_ref[0] = _row_major(dxw, ws, n_win, c).astype(dx_ref.dtype)
 
+    if scratch_refs:
+        is_last = ((pl.program_id(0) == pl.num_programs(0) - 1)
+                   & (pl.program_id(1) == pl.num_programs(1) - 1)
+                   & (pl.program_id(2) == pl.num_programs(2) - 1))
+
+        @pl.when(is_last)
+        def _flush():
+            for out, acc in zip(out_refs, scratch_refs):
+                out[...] = acc[...]
+
 
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
@@ -354,34 +374,22 @@ def _make_block_fn(window_size: int, num_heads: int, use_mask: bool,
         acc = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda gr, gc, bi: (0,) * len(shape),
             memory_space=pltpu.VMEM)
+        grad_shapes = [
+            (c, 3 * c), (1, 3 * c),        # dwqkv, dbqkv
+            (c, c), (1, c),                # dwproj, dbproj
+            (num_heads, n, n),             # drel
+            (1, c), (1, c),                # dln1s, dln1b
+            (1, c), (1, c),                # dln2s, dln2b
+            (c, hidden), (1, hidden),      # dw1, db1
+            (hidden, c), (1, c),           # dw2, db2
+        ]
         res = pl.pallas_call(
             kernel, grid=grid, in_specs=ins,
-            out_specs=[
-                xspec,
-                acc((c, 3 * c)), acc((1, 3 * c)),        # dwqkv, dbqkv
-                acc((c, c)), acc((1, c)),                # dwproj, dbproj
-                acc((num_heads, n, n)),                  # drel
-                acc((1, c)), acc((1, c)),                # dln1s, dln1b
-                acc((1, c)), acc((1, c)),                # dln2s, dln2b
-                acc((c, hidden)), acc((1, hidden)),      # dw1, db1
-                acc((hidden, c)), acc((1, c)),           # dw2, db2
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-                jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
-                jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
-                jax.ShapeDtypeStruct((c, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((c, hidden), jnp.float32),
-                jax.ShapeDtypeStruct((1, hidden), jnp.float32),
-                jax.ShapeDtypeStruct((hidden, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-            ],
+            out_specs=[xspec] + [acc(s) for s in grad_shapes],
+            out_shape=[jax.ShapeDtypeStruct((b, h, w, c), x.dtype)] + [
+                jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+            scratch_shapes=([pltpu.VMEM(s, jnp.float32)
+                             for s in grad_shapes] if _BWD_SCRATCH else []),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,

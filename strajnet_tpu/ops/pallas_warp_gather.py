@@ -239,8 +239,16 @@ def sample_dense(image: jax.Array, warp: jax.Array,
     s, h, w, c = image.shape
     assert c == 1, image.shape
     hp, wp = h + 2, w + 2
+    # Physical buffer padded up to native (8, 128) VMEM tiles. Mosaic pads
+    # the [1, hp, wp] block to exactly these sizes in VMEM anyway (the MXU
+    # work is identical); making the HBM array tile-aligned as well removes
+    # the unaligned DMA edge rows/columns a [S, 258, 258] layout produces.
+    # The extra area is zero and the clip bounds below keep every query
+    # index inside the logical (h+2, w+2) region, so results are unchanged.
+    hp_phys = -(-hp // 8) * 8
+    wp_phys = -(-wp // _LANES) * _LANES
     img = jnp.pad(image[..., 0].astype(jnp.float32),
-                  ((0, 0), (1, 1), (1, 1)))
+                  ((0, 0), (1, hp_phys - h - 1), (1, wp_phys - w - 1)))
 
     lead = warp.shape[:-1]
     q = warp.reshape(s, -1, 2).astype(jnp.float32)

@@ -36,6 +36,7 @@ step). The SW-MSA mask is a constant — its cotangent is zero.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -43,6 +44,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Backward-kernel gradient accumulation strategy (A/B hook for the batch-16
+# full-step TPU worker crash — see models/strajnet.py):
+#   revisit (default): accumulate directly in revisited output blocks
+#     (zero-initialized on the first step) — the round-1..3 formulation.
+#   scratch (STRAJNET_BWD_SCRATCH=1): accumulate in VMEM scratch across the
+#     sequential grid, write each gradient OUTPUT block exactly once on the
+#     last step.
+# Identical math either way (parity-tested both ways). The scratch form
+# avoids Mosaic's revisited-output write-back machinery entirely — tested
+# as a crash-fix candidate in round 4; the crash reproduced under scratch
+# too (bisect log in PARITY.md), so the measured default stays.
+_BWD_SCRATCH = os.environ.get("STRAJNET_BWD_SCRATCH", "0") == "1"
 
 
 def _window_major(x3, ws, n_win, c):
@@ -116,7 +130,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, relbig_ref,
 
 def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, relbig_ref, mask_ref,
                 dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-                dbias_ref, *, window_size, num_heads, head_dim, use_mask):
+                dbias_ref, *scratch_refs, window_size, num_heads, head_dim,
+                use_mask):
     ws = window_size
     c = x_ref.shape[-1]
     w_full = x_ref.shape[2]
@@ -126,13 +141,19 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, relbig_ref, mask_ref,
     scale = head_dim ** -0.5
     bf = jnp.bfloat16
 
+    out_refs = (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref)
+    # scratch mode: accumulate in VMEM scratch (persistent across the
+    # sequential TPU grid), flush to the outputs once on the last step.
+    accs = scratch_refs if scratch_refs else out_refs
+
     is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
                 & (pl.program_id(2) == 0))
 
     @pl.when(is_first)
     def _init():
-        for ref in (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref):
+        for ref in accs:
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
+    (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref) = accs
 
     # Recompute the forward's qkv in VMEM.
     xw = _window_major(x_ref[0], ws, n_win, c)           # [N, C]
@@ -208,6 +229,16 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, relbig_ref, mask_ref,
         dqkv, wqkv_ref[:].astype(bf), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dx_ref[0] = _row_major(dxw, ws, n_win, c).astype(dx_ref.dtype)
+
+    if scratch_refs:
+        is_last = ((pl.program_id(0) == pl.num_programs(0) - 1)
+                   & (pl.program_id(1) == pl.num_programs(1) - 1)
+                   & (pl.program_id(2) == pl.num_programs(2) - 1))
+
+        @pl.when(is_last)
+        def _flush():
+            for out, acc in zip(out_refs, scratch_refs):
+                out[...] = acc[...]
 
 
 def _relbig(rel_bias, n_win):
@@ -311,24 +342,17 @@ def _make_fused_fn(window_size: int, num_heads: int, use_mask: bool,
             shape, lambda gr, gc, bi: (0,) * len(shape),
             memory_space=pltpu.VMEM)
         relbig = _relbig(rel_bias, wpp_)
+        grad_shapes = [(c, 3 * c), (1, 3 * c), (c, c), (1, c),
+                       (num_heads, n, n)]
         dx, dwqkv, dbqkv, dwproj, dbproj, dbias = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=ins,
-            out_specs=[
-                xspec,
-                acc((c, 3 * c)), acc((1, 3 * c)),
-                acc((c, c)), acc((1, c)),
-                acc((num_heads, n, n)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-                jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
-                jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
-                jax.ShapeDtypeStruct((c, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
-            ],
+            out_specs=[xspec] + [acc(s) for s in grad_shapes],
+            out_shape=[jax.ShapeDtypeStruct((b, h, w, c), x.dtype)] + [
+                jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+            scratch_shapes=([pltpu.VMEM(s, jnp.float32)
+                             for s in grad_shapes] if _BWD_SCRATCH else []),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,

@@ -221,3 +221,42 @@ def test_fused_window_attention_backward_matches_xla(shift):
         tol = 8e-3 * max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(np.asarray(b_), a, rtol=0, atol=tol,
                                    err_msg=name)
+
+
+def test_backward_scratch_accumulators_match_xla(monkeypatch):
+    """STRAJNET_BWD_SCRATCH=1 path: gradients accumulate in VMEM scratch and
+    the outputs are written once on the last grid step — parity vs the XLA
+    reference. Distinct geometry from the revisit-mode test above so the two
+    modes can't share a jit trace."""
+    import strajnet_tpu.ops.pallas_window_attention as pwa
+
+    monkeypatch.setattr(pwa, "_BWD_SCRATCH", True)
+    b, h, w, c, ws, heads = 3, 8, 16, 16, 4, 2
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)
+    wqkv = jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    rel_bias = jnp.asarray(
+        rng.randn(heads, ws * ws, ws * ws).astype(np.float32) * 0.3)
+    mask = jnp.asarray(shifted_window_mask(h, w, ws, 2))
+    cot = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    def loss_ref(args):
+        return jnp.sum(_xla_reference(*args, mask, ws, heads) * cot)
+
+    def loss_fused(args):
+        y = pwa.fused_window_attention(*args, mask, window_size=ws,
+                                       num_heads=heads, interpret=True)
+        return jnp.sum(y * cot)
+
+    args = (x, wqkv, bqkv, wproj, bproj, rel_bias)
+    g_ref = jax.grad(loss_ref)(args)
+    g_fused = jax.grad(loss_fused)(args)
+    for name, a, b_ in zip(("x", "wqkv", "bqkv", "wproj", "bproj",
+                            "rel_bias"), g_ref, g_fused):
+        a = np.asarray(a)
+        tol = 8e-3 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(b_), a, rtol=0, atol=tol,
+                                   err_msg=name)

@@ -1,10 +1,15 @@
 """TPU probe: bisect the attn/block-mode training worker crash.
 
 Usage: python -u tools/probe_crash_bisect.py <part> [batch] [mode] [nblocks]
-  part: enc | model | modelloss | step | stage0 | stage1 | stage2
+  part: enc | model | modelloss | gradout | sgd | step | stage0..2
     enc       encoder-only grad (all three branches + patch embeds)
     model     full model fwd+bwd, sum-of-outputs loss (no OGM loss)
-    modelloss full model + OGM loss/warp kernel (no optimizer)
+    modelloss full model + OGM loss/warp kernel (no optimizer); the grad
+              tree is reduced to a scalar INSIDE the program
+    gradout   modelloss but the full gradient tree is a program OUTPUT
+              (all grad buffers live at once, like the real step)
+    sgd       gradout + a plain SGD update (new params as outputs; no
+              Nadam moments, no donation)
     step      the real make_train_step (== tools/probe_train_tpu.py attn)
     stageN    grad through ``nblocks`` chained Swin blocks (alternating
               W-MSA / SW-MSA) at stage N's flagship geometry
@@ -125,7 +130,7 @@ elif part.startswith("stage"):
     print(f"{part} x{nblocks} grad ok:", float(run(params, x)),
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
-elif part in ("model", "modelloss"):
+elif part in ("model", "modelloss", "gradout", "sgd"):
     from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
     model = STrajNet(cfg=cfg)
@@ -158,23 +163,48 @@ elif part in ("model", "modelloss"):
         batch = {k: jnp.asarray(v)
                  for k, v in synthetic_batch(cfg, B, seed=0).items()}
 
-        @jax.jit
-        def run(params, batch):
+        def loss_of(p, batch):
             tw = true_waypoints_from_batch(batch)
+            outputs = model.apply(
+                p, ogm=batch["ogm"], map_img=batch["map_image"],
+                obs=batch["actors"], occ=batch["occl_actors"],
+                mapt=batch["centerlines"], flow=batch["vec_flow"],
+                training=True, rngs={"dropout": jax.random.PRNGKey(1)})
+            logits = split_pred_waypoints(outputs, cfg.num_waypoints)
+            d = loss_fn(tw, logits)
+            return (d["observed_xe"] + d["occluded_xe"] + d["flow"] +
+                    d["flow_warp_xe"])
 
-            def loss(p):
-                outputs = model.apply(
-                    p, ogm=batch["ogm"], map_img=batch["map_image"],
-                    obs=batch["actors"], occ=batch["occl_actors"],
-                    mapt=batch["centerlines"], flow=batch["vec_flow"],
-                    training=True, rngs={"dropout": jax.random.PRNGKey(1)})
-                logits = split_pred_waypoints(outputs, cfg.num_waypoints)
-                d = loss_fn(tw, logits)
-                return (d["observed_xe"] + d["occluded_xe"] + d["flow"] +
-                        d["flow_warp_xe"])
-            return gsum(jax.grad(loss)(params))
+        if part == "modelloss":
+            @jax.jit
+            def run(params, batch):
+                return gsum(jax.grad(loss_of)(params, batch))
 
-        t0 = time.perf_counter()
-        print("modelloss grad ok:", float(run(params, batch)),
-              f"{time.perf_counter()-t0:.1f}s", flush=True)
+            t0 = time.perf_counter()
+            print("modelloss grad ok:", float(run(params, batch)),
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+        elif part == "gradout":
+            # Full gradient tree as PROGRAM OUTPUTS: every grad buffer is
+            # live at once (like the real step), no optimizer.
+            @jax.jit
+            def run(params, batch):
+                return jax.grad(loss_of)(params, batch)
+
+            t0 = time.perf_counter()
+            g = run(params, batch)
+            tot = float(gsum(g))
+            print("gradout ok:", tot, f"{time.perf_counter()-t0:.1f}s",
+                  flush=True)
+        else:  # sgd: grads + plain SGD update, no Nadam moments, no donate
+            @jax.jit
+            def run(params, batch):
+                g = jax.grad(loss_of)(params, batch)
+                return jax.tree_util.tree_map(
+                    lambda p, gg: p - 1e-4 * gg.astype(p.dtype), params, g)
+
+            t0 = time.perf_counter()
+            newp = run(params, batch)
+            tot = float(gsum(newp))
+            print("sgd ok:", tot, f"{time.perf_counter()-t0:.1f}s",
+                  flush=True)
 print("OK", flush=True)
