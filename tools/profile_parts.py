@@ -35,7 +35,8 @@ dt = jnp.bfloat16
 
 _KNOWN_PARTS = {"full", "encoder", "fgmsa", "fgmsa_nope", "trajnet",
                 "decoder", "enc_embed", "enc_flow", "enc_stage0",
-                "enc_stage1", "enc_stage2"}
+                "enc_stage1", "enc_stage2", "dec_up3", "dec_up2", "dec_up1",
+                "dec_tail_occ", "dec_upf1", "dec_tail_flow", "dec_res"}
 PARTS = set(sys.argv[1:]) or {"full", "encoder", "fgmsa", "trajnet",
                               "decoder"}
 _unknown = PARTS - _KNOWN_PARTS
@@ -142,6 +143,60 @@ dec_in = {"x": jnp.zeros((B, 8, 16, 16, 384), dt),
           "res": [jnp.zeros(s, dt) for s in res_shapes]}
 device_time("decoder", lambda p, kw: dec.apply(p, kw["x"], kw["res"]), dp,
             dec_in, "x")
+
+# ---- decoder sub-parts (per-level roofline attribution) ----
+from strajnet_tpu.models.decoder import (FusedUpConv, TemporalConv,
+                                         _apply_tail)
+
+decp = params["params"]["decoder"]
+
+# (part, param key, out features, in [T, H, W, Cin])
+_DEC_UPS = [
+    ("dec_up3", "upconv_3_0", 192, (8, 16, 16, 384)),
+    ("dec_up2", "upconv_2_0", 128, (8, 32, 32, 192)),
+    ("dec_up1", "upconv_1_0", 96, (8, 64, 64, 128)),
+    ("dec_upf1", "upconvf_1_0", 96, (8, 64, 64, 128)),
+]
+for nm, key, feat, shp in _DEC_UPS:
+    if nm not in PARTS:
+        continue
+    m = FusedUpConv(feat, dtype=dt)
+    device_time(nm, lambda p, kw, _m=m: _m.apply(p, kw["x"]),
+                {"params": decp[key]},
+                {"x": jnp.zeros((B,) + shp, dt)}, "x")
+
+# occ/flow tails: last FusedUpConv (96->48 @128^2 -> 256^2) + elu + outconv
+for nm, upkey, outkey in [("dec_tail_occ", "upconv_0_0", "outconv"),
+                          ("dec_tail_flow", "upconvf_0_0", "outconv_f")]:
+    if nm not in PARTS:
+        continue
+
+    def _tail(p, kw, _u=upkey, _o=outkey):
+        ku = p["params"][_u]["conv"]["kernel"]
+        kb = p["params"][_u]["conv"]["bias"]
+        ko = p["params"][_o]["kernel"]
+        bo = p["params"][_o]["bias"]
+        return _apply_tail(kw["x"], ku, kb, ko, bo, dt, False)
+
+    device_time(nm, _tail, {"params": decp},
+                {"x": jnp.zeros((B, 8, 128, 128, 96), dt)}, "x")
+
+if "dec_res" in PARTS:
+    # the three time-constant pyramid/flow skips together
+    def _res_all(p, kw):
+        a = TemporalConv(192, 8, 8, dtype=dt).apply(
+            {"params": p["params"]["resconv_3"]}, kw["r1"])
+        b_ = TemporalConv(128, 8, 8, dtype=dt).apply(
+            {"params": p["params"]["resconv_2"]}, kw["r0"])
+        c_ = TemporalConv(128, 8, 8, dtype=dt).apply(
+            {"params": p["params"]["resconv_f"]}, kw["rf"])
+        return (jnp.sum(a.astype(jnp.float32)) + jnp.sum(b_.astype(
+            jnp.float32)) + jnp.sum(c_.astype(jnp.float32)))
+
+    device_time("dec_res", _res_all, {"params": decp},
+                {"r1": jnp.zeros((B, 1, 32, 32, 192), dt),
+                 "r0": jnp.zeros((B, 1, 64, 64, 96), dt),
+                 "rf": jnp.zeros((B, 1, 64, 64, 96), dt)}, "r1")
 
 # ---- encoder sub-parts (pass part names on argv to select) ----
 from strajnet_tpu.models.swin import BasicLayer, LayerNorm, PatchEmbed

@@ -91,12 +91,34 @@ def gsum(g):
                for x in jax.tree_util.tree_leaves(g))
 
 
+def _cost(jfn, *args):
+    """(flops, bytes accessed) of the compiled program, or (0, 0)."""
+    try:
+        ca = jfn.lower(*args).compile().cost_analysis()
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed",
+                                                         0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _report(name, ms, flops=0.0, bytes_=0.0):
+    line = f"{name:12s}: {ms:8.2f} ms/batch{B}"
+    if flops:
+        tflops = flops / ms / 1e9
+        gbs = bytes_ / ms / 1e6
+        line += (f"  {flops/1e9:7.1f} GF {bytes_/1e9:6.2f} GB"
+                 f"  -> {tflops:6.1f} TF/s ({tflops/197*100:4.1f}% MXU)"
+                 f" {gbs:6.0f} GB/s ({gbs/819*100:4.1f}% HBM)")
+    print(line, flush=True)
+
+
 def time_seq(name, fn, *args):
     """Sequential async dispatches, scalar-carry data dependence."""
     if name not in PARTS:
         return
     jfn = jax.jit(fn)
     carry = jnp.float32(0)
+    flops, bytes_ = _cost(jfn, carry, *args)
     carry = jfn(carry, *args)
     float(carry)  # compile + sync
     t0 = time.perf_counter()
@@ -104,7 +126,7 @@ def time_seq(name, fn, *args):
         carry = jfn(carry, *args)
     float(carry)
     ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:12s}: {ms:8.2f} ms/batch{B}", flush=True)
+    _report(name, ms, flops, bytes_)
 
 
 def time_fori(name, fn, *args):
@@ -123,10 +145,11 @@ def time_fori(name, fn, *args):
     except Exception as e:  # payload cap / lowering issue -> sequential
         print(f"{name}: fori fallback ({type(e).__name__})", flush=True)
         return time_seq(name, fn, *args)
+    flops, bytes_ = _cost(jax.jit(fn), jnp.float32(0), *args)
     t0 = time.perf_counter()
     float(loop(ITERS, *args))
     ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:12s}: {ms:8.2f} ms/batch{B}", flush=True)
+    _report(name, ms, flops, bytes_)
 
 
 # --- train-mode forward (dropout + droppath active) ---
@@ -259,6 +282,7 @@ if "step" in PARTS:
     step = make_train_step(task, LossConfig(), cfg.num_waypoints,
                            donate=True, accumulate=True)
     rng = jax.random.PRNGKey(0)
+    flops, bytes_ = _cost(step, state, batch, rng, zero_loss_sums())
     st, sm = step(state, batch, rng, zero_loss_sums())
     float(sm["total"])
     t0 = time.perf_counter()
@@ -266,6 +290,6 @@ if "step" in PARTS:
         st, sm = step(st, batch, rng, sm)
     float(sm["total"])
     ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{'step':12s}: {ms:8.2f} ms/batch{B}", flush=True)
+    _report("step", ms, flops, bytes_)
 
 print("OK", flush=True)
