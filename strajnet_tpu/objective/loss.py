@@ -163,6 +163,20 @@ def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
     """Returns dict of 4 scalar loss terms (already weighted & normalized)."""
     n_wp = true_waypoints.observed_occupancy.shape[1]
 
+    warped_all = None
+    if not loss_cfg.no_use_warp:
+        # All waypoints warp in ONE flow_warp_origin call (S = B*T): the
+        # per-sample math is identical to per-waypoint calls, but on TPU the
+        # Pallas warp-gather launches once with an 8x larger grid instead of
+        # 8 times — less launch overhead and better pipelining. Gradient
+        # flows through pred flow exactly as before (reshape is transparent).
+        fo = true_waypoints.flow_origin_occupancy
+        pf = pred_waypoint_logits.flow.astype(jnp.float32)
+        bt = fo.shape[0] * fo.shape[1]
+        warped_all = flow_warp_origin(
+            fo.reshape((bt,) + fo.shape[2:]),
+            pf.reshape((bt,) + pf.shape[2:])).reshape(fo.shape)
+
     obs_terms: List[jax.Array] = []
     occ_terms: List[jax.Array] = []
     flow_terms: List[jax.Array] = []
@@ -177,7 +191,6 @@ def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
         true_obs = true_waypoints.observed_occupancy[:, k]
         true_occ = true_waypoints.occluded_occupancy[:, k]
         true_flow = true_waypoints.flow[:, k]
-        flow_origin = true_waypoints.flow_origin_occupancy[:, k]
 
         obs_terms.append(_occupancy_xe(true_obs, pred_obs,
                                        loss_cfg.ogm_weight,
@@ -206,7 +219,7 @@ def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
                                           loss_cfg.flow_weight, replica))
 
         if not loss_cfg.no_use_warp:
-            warped = flow_warp_origin(flow_origin, pred_flow)
+            warped = warped_all[:, k]
             # Reference loss.py:151-158: the occupancy multiplier
             # clip(sigmoid(a)+sigmoid(b)) is built from the PREDICTED logits
             # only on the use_pred=True path; at the training default

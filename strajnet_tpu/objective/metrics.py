@@ -64,6 +64,17 @@ def compute_occupancy_flow_metrics(true_waypoints: WaypointGrids,
         "vehicles_flow_epe", "vehicles_flow_warped_occupancy_auc",
         "vehicles_flow_warped_occupancy_iou")}
 
+    warped_all = None
+    if not no_warp:
+        # One batched warp (S = B*T) instead of n_wp separate calls — same
+        # per-sample math, single kernel launch on TPU (see loss.py).
+        fo = true_waypoints.flow_origin_occupancy
+        pf = pred_waypoints.flow
+        bt = fo.shape[0] * fo.shape[1]
+        warped_all = flow_warp_origin(
+            fo.reshape((bt,) + fo.shape[2:]),
+            pf.reshape((bt,) + pf.shape[2:])).reshape(fo.shape)
+
     for k in range(n_wp):
         true_obs = true_waypoints.observed_occupancy[:, k]
         pred_obs = pred_waypoints.observed_occupancy[:, k]
@@ -81,9 +92,7 @@ def compute_occupancy_flow_metrics(true_waypoints: WaypointGrids,
         if not no_warp:
             true_all = jnp.clip(true_obs + true_occ, 0.0, 1.0)
             pred_all = jnp.clip(pred_obs + pred_occ, 0.0, 1.0)
-            warped = flow_warp_origin(
-                true_waypoints.flow_origin_occupancy[:, k], pred_flow)
-            flow_grounded = pred_all * warped
+            flow_grounded = pred_all * warped_all[:, k]
             # NOTE argument order follows the reference exactly
             # (occu_metric.py:121-126): the flow-grounded product is passed
             # as y_true and the binary GT as y_pred.
