@@ -327,6 +327,12 @@ class LossConfig:
     # gradients flow only through pred_flow; enabling this routes warp
     # gradients into the occupancy heads as well. See PARITY.md.
     warp_pred_logits: bool = False
+    # Route flow_warp_origin through the Pallas MXU warp-gather kernel on
+    # TPU (numerics identical — core/sampling.py). The training loop turns
+    # this OFF when the attention kernels' backward is active: the
+    # co-occurrence of the warp kernel with the attention backward kernels
+    # in one batch-16 program crashes the TPU worker (PARITY.md bisect).
+    warp_kernel: bool = True
 
 
 @dataclass(frozen=True)

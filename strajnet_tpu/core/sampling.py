@@ -199,7 +199,8 @@ def identity_warp_indices(height: int, width: int,
 
 
 def flow_warp_origin(flow_origin_occupancy: jax.Array,
-                     flow: jax.Array) -> jax.Array:
+                     flow: jax.Array,
+                     use_kernel: bool = True) -> jax.Array:
     """Warps flow-origin occupancy by a (dx, dy) flow field.
 
     Shared by the warp loss (reference loss.py:143-150) and the flow-grounded
@@ -209,6 +210,9 @@ def flow_warp_origin(flow_origin_occupancy: jax.Array,
     Args:
       flow_origin_occupancy: [B, H, W, 1].
       flow: [B, H, W, 2] (dx, dy).
+      use_kernel: route through the Pallas warp-gather kernel when it
+        applies (set False by the training loss when the attention
+        backward kernels are active — PARITY.md crash bisect).
 
     TPU note: on TPU this routes to the Pallas MXU warp-gather kernel
     (ops/pallas_warp_gather.py) — numerically the same interpolation tree,
@@ -227,6 +231,7 @@ def flow_warp_origin(flow_origin_occupancy: jax.Array,
     warp = identity_warp_indices(h, w, flow.dtype)[None] + flow
 
     from strajnet_tpu.ops import pallas_warp_gather
-    if pallas_warp_gather.supports(flow_origin_occupancy, warp):
+    if use_kernel and pallas_warp_gather.supports(flow_origin_occupancy,
+                                                  warp):
         return pallas_warp_gather.sample_dense(flow_origin_occupancy, warp)
     return sample(flow_origin_occupancy, warp, pixel_type=PixelType.INTEGER)

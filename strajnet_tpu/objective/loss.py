@@ -175,7 +175,8 @@ def ogmflow_loss(config: TaskConfig, loss_cfg: LossConfig,
         bt = fo.shape[0] * fo.shape[1]
         warped_all = flow_warp_origin(
             fo.reshape((bt,) + fo.shape[2:]),
-            pf.reshape((bt,) + pf.shape[2:])).reshape(fo.shape)
+            pf.reshape((bt,) + pf.shape[2:]),
+            use_kernel=loss_cfg.warp_kernel).reshape(fo.shape)
 
     obs_terms: List[jax.Array] = []
     occ_terms: List[jax.Array] = []

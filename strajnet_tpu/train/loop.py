@@ -104,6 +104,17 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
                          f"by process count {n_proc}")
     local_bs = train_cfg.batch_size // n_proc
 
+    # Kernel-backward training runs the loss warp on XLA: the warp-gather
+    # kernel co-occurring with the attention backward kernels in one
+    # batch-16 program crashes the TPU worker (PARITY.md bisect). The warp
+    # route is numerically identical either way.
+    if (model_cfg.use_pallas_attention in ("attn", "block")
+            and loss_cfg.warp_kernel):
+        import dataclasses as _dc
+        loss_cfg = _dc.replace(loss_cfg, warp_kernel=False)
+        if is_main:
+            print("kernel-backward mode: loss warp on XLA (see PARITY.md)")
+
     # Profiling hook (SURVEY.md §5 — the reference has none): captures an
     # xplane trace of steps 10..20 of the first epoch when requested.
     profile_state = {"started": False, "stopped": profile_dir is None}
