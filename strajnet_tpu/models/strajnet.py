@@ -39,21 +39,17 @@ class STrajNet(nn.Module):
         bd = cfg.bottleneck_dim
 
         # None = auto on TPU backends (the CPU fallback would run
-        # interpreted): the fully fused block kernel for inference; plain
-        # XLA for training — the full train step with EITHER kernel's
-        # backward crashes the TPU worker at batch 16 (batch 8 + every
-        # standalone batch-16 kernel fwd+bwd pass; not an HBM OOM — the
-        # XLA-only step uses MORE memory and runs; re-confirmed after the
-        # samples-per-program forward packing landed). Suspected
-        # placement-dependent OOB in a kernel; tools/probe_train_tpu.py +
-        # probe_attn_chain_tpu.py reproduce/bisect. Opt in explicitly with
-        # use_pallas_attention="attn"|"block" (verified safe at batch<=8).
+        # interpreted): the fully fused block kernel for BOTH paths. The
+        # round-1..3 batch-16 training crash (kernel backward + warp-gather
+        # kernel co-occurring in one program) was resolved in round 4 by
+        # batching the loss warps into one launch — full bisect + the
+        # refuted candidates in PARITY.md. Measured at batch 16 flagship:
+        # block 222.8 ms/step vs 264.7 pure-XLA (attn 242.8). Escape
+        # hatches stay: use_pallas_attention=False / --pallas off, and
+        # LossConfig.warp_kernel=False for the loss-warp route.
         use_pallas = cfg.use_pallas_attention
         if use_pallas is None:
-            if jax.default_backend() == "tpu":
-                use_pallas = "block" if deterministic else False
-            else:
-                use_pallas = False
+            use_pallas = "block" if jax.default_backend() == "tpu" else False
 
         res_list = SwinTransformerEncoder(
             img_size=cfg.input_size,

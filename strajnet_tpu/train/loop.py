@@ -104,16 +104,11 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
                          f"by process count {n_proc}")
     local_bs = train_cfg.batch_size // n_proc
 
-    # Kernel-backward training runs the loss warp on XLA: the warp-gather
-    # kernel co-occurring with the attention backward kernels in one
-    # batch-16 program crashes the TPU worker (PARITY.md bisect). The warp
-    # route is numerically identical either way.
-    if (model_cfg.use_pallas_attention in ("attn", "block")
-            and loss_cfg.warp_kernel):
-        import dataclasses as _dc
-        loss_cfg = _dc.replace(loss_cfg, warp_kernel=False)
-        if is_main:
-            print("kernel-backward mode: loss warp on XLA (see PARITY.md)")
+    # The loss warp kernel and the attention-backward kernels co-exist
+    # since the warps were batched into one launch (PARITY.md bisect) —
+    # both stay on by default. LossConfig.warp_kernel=False remains the
+    # escape hatch to route the loss warp through XLA (costs ~+220
+    # ms/step at batch 16; only for isolating kernel interactions).
 
     # Profiling hook (SURVEY.md §5 — the reference has none): captures an
     # xplane trace of steps 10..20 of the first epoch when requested.
