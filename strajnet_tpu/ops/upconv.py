@@ -25,9 +25,18 @@ entries are sums of W entries.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Backward-formulation A/B hook (see upsample2x_conv3x3): "native" lets
+# XLA autodiff the lhs-dilated conv directly — fine on TPU (its conv
+# pipeline lowers the rhs-dilated/strided gradient convs natively),
+# catastrophic on CPU (measured 740 s/step) — while the default routes
+# gradients through the phase-stack form. Read once at import.
+_NATIVE_VJP = os.environ.get("STRAJNET_UPCONV_VJP", "") == "native"
 
 # _ROW_SETS[a][r] = list of 3x3 kernel row indices folded into low-res tap r.
 _ROW_SETS = (
@@ -81,8 +90,8 @@ def _upsample2x_conv3x3_dilated(x: jax.Array, w3: jax.Array,
 
 
 @jax.custom_vjp
-def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
-                       bias: jax.Array | None = None) -> jax.Array:
+def _upconv_phase_vjp(x: jax.Array, w3: jax.Array,
+                      bias: jax.Array | None = None) -> jax.Array:
     """conv3x3(SAME)(nearest_upsample_2x(x)) without materializing the 2x grid.
 
     Forward: one lhs-dilated (transposed) conv with the composed 4x4
@@ -152,7 +161,16 @@ def _upconv_bwd(resid, dy):
     return dx, dw3, (db if bias is not None else None)
 
 
-upsample2x_conv3x3.defvjp(_upconv_fwd, _upconv_bwd)
+_upconv_phase_vjp.defvjp(_upconv_fwd, _upconv_bwd)
+
+
+def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
+                       bias: jax.Array | None = None) -> jax.Array:
+    """Public entry — same forward either way; the STRAJNET_UPCONV_VJP
+    env hook selects which gradient formulation autodiff sees."""
+    if _NATIVE_VJP:
+        return _upsample2x_conv3x3_dilated(x, w3, bias)
+    return _upconv_phase_vjp(x, w3, bias)
 
 
 def upsample2x_conv3x3_phases(x: jax.Array, w3: jax.Array,
