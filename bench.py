@@ -44,11 +44,8 @@ V5E_PEAK_FLOPS = 197e12
 # recorded in the JSON line.
 INFER_BATCHES = (16, 32, 64)
 # Reference's checked-in training default (train.py:51); also measured
-# better per-scene than batch 8 on the v5e with the current default
-# training path (XLA attention: 61.8 scenes/s at batch 16 vs the
-# fused-attention kernel's 45.5 at batch 8 — the kernel backward is
-# unusable at batch 16 until the worker-crash bug is pinned, see
-# models/strajnet.py).
+# better per-scene than batch 8 on the v5e (block-kernel backward:
+# 222.8 ms/step = 71.8 scenes/s at batch 16, PARITY.md roofline).
 TRAIN_BATCH = 16
 WARMUP = 3
 ITERS = 20
@@ -136,9 +133,10 @@ def _child(phase: str):
 
     from strajnet_tpu.config import STRAJNET_CONFIG
 
-    # None = auto kernel selection: fused block kernel for inference,
-    # plain XLA for training (the kernel backwards crash the TPU worker at
-    # batch 16 — see models/strajnet.py) — the same defaults the
+    # None = auto kernel selection: fused block kernel fwd for inference
+    # AND fwd+bwd for training (the batch-16 worker crash was pinned to
+    # per-waypoint warp launches and fixed by batching them — see
+    # models/strajnet.py and PARITY.md) — the same defaults the
     # training/inference CLIs resolve to on TPU.
     cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=None)
     if phase.startswith("inference"):

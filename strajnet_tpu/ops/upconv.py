@@ -31,12 +31,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Backward-formulation A/B hook (see upsample2x_conv3x3): "native" lets
-# XLA autodiff the lhs-dilated conv directly — fine on TPU (its conv
-# pipeline lowers the rhs-dilated/strided gradient convs natively),
-# catastrophic on CPU (measured 740 s/step) — while the default routes
-# gradients through the phase-stack form. Read once at import.
-_NATIVE_VJP = os.environ.get("STRAJNET_UPCONV_VJP", "") == "native"
+# Backward-formulation selection (see upsample2x_conv3x3): "native" lets
+# XLA autodiff the lhs-dilated conv directly — measured 22 ms/step faster
+# at the flagship batch-16 train step on v5e (203.5 vs 225.5 ms, PARITY.md)
+# because TPU's conv pipeline lowers the rhs-dilated/strided gradient convs
+# natively — but catastrophic on CPU (measured 740 s/step), where the
+# phase-stack gradient form runs in seconds. Default: native on TPU, phase
+# elsewhere; STRAJNET_UPCONV_VJP=native|phase overrides.
+_VJP_MODE = os.environ.get("STRAJNET_UPCONV_VJP", "")
+_NATIVE_DEFAULT: bool | None = None
+
+
+def _use_native_vjp() -> bool:
+    global _NATIVE_DEFAULT
+    if _VJP_MODE in ("native", "phase"):
+        return _VJP_MODE == "native"
+    if _NATIVE_DEFAULT is None:
+        _NATIVE_DEFAULT = jax.default_backend() == "tpu"
+    return _NATIVE_DEFAULT
 
 # _ROW_SETS[a][r] = list of 3x3 kernel row indices folded into low-res tap r.
 _ROW_SETS = (
@@ -166,9 +178,10 @@ _upconv_phase_vjp.defvjp(_upconv_fwd, _upconv_bwd)
 
 def upsample2x_conv3x3(x: jax.Array, w3: jax.Array,
                        bias: jax.Array | None = None) -> jax.Array:
-    """Public entry — same forward either way; the STRAJNET_UPCONV_VJP
-    env hook selects which gradient formulation autodiff sees."""
-    if _NATIVE_VJP:
+    """Public entry — same forward either way; backend default (native
+    gradients on TPU, phase-form on CPU) or the STRAJNET_UPCONV_VJP env
+    hook selects which gradient formulation autodiff sees."""
+    if _use_native_vjp():
         return _upsample2x_conv3x3_dilated(x, w3, bias)
     return _upconv_phase_vjp(x, w3, bias)
 

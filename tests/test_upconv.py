@@ -78,6 +78,32 @@ def test_custom_vjp_matches_naive_autodiff(with_bias):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_native_vjp_matches_naive_autodiff(monkeypatch):
+    """The TPU-default native formulation (autodiff straight through the
+    lhs-dilated conv, ops/upconv.py::_use_native_vjp) must produce the same
+    gradients as the naive computation — tiny shapes keep the CPU lowering
+    cheap here; the flagship-shape CPU pathology is why phase remains the
+    CPU default."""
+    from strajnet_tpu.ops import upconv
+
+    monkeypatch.setattr(upconv, "_VJP_MODE", "native")
+    n, h, w, cin, cout = 2, 6, 10, 3, 4
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    w3 = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32))
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    cot = jnp.asarray(rng.randn(n, 2 * h, 2 * w, cout).astype(np.float32))
+
+    ref = jax.grad(lambda *a: jnp.sum(_naive(*a) * cot),
+                   argnums=(0, 1, 2))(x, w3, bias)
+    got = jax.grad(
+        lambda *a: jnp.sum(upsample2x_conv3x3(*a) * cot),
+        argnums=(0, 1, 2))(x, w3, bias)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_custom_vjp_mixed_dtype():
     """bf16 x/w3 with an f32 bias (the FusedUpConv training dtypes) must
     differentiate — regression for the mixed-dtype gradient-conv TypeError."""
