@@ -37,18 +37,20 @@ import numpy as np
 # because TPU's conv pipeline lowers the rhs-dilated/strided gradient convs
 # natively — but catastrophic on CPU (measured 740 s/step), where the
 # phase-stack gradient form runs in seconds. Default: native on TPU, phase
-# elsewhere; STRAJNET_UPCONV_VJP=native|phase overrides.
+# elsewhere; STRAJNET_UPCONV_VJP=native|phase overrides. NOTE: the backend
+# default is per-process (jax.default_backend()), not per-lowering — a
+# program explicitly lowered for CPU on a TPU host should set the env var.
 _VJP_MODE = os.environ.get("STRAJNET_UPCONV_VJP", "")
-_NATIVE_DEFAULT: bool | None = None
+if _VJP_MODE not in ("", "native", "phase"):
+    raise ValueError(
+        f"STRAJNET_UPCONV_VJP={_VJP_MODE!r}: expected 'native', 'phase', "
+        "or unset")
 
 
 def _use_native_vjp() -> bool:
-    global _NATIVE_DEFAULT
-    if _VJP_MODE in ("native", "phase"):
+    if _VJP_MODE:
         return _VJP_MODE == "native"
-    if _NATIVE_DEFAULT is None:
-        _NATIVE_DEFAULT = jax.default_backend() == "tpu"
-    return _NATIVE_DEFAULT
+    return jax.default_backend() == "tpu"
 
 # _ROW_SETS[a][r] = list of 3x3 kernel row indices folded into low-res tap r.
 _ROW_SETS = (

@@ -104,9 +104,15 @@ def test_native_vjp_matches_naive_autodiff(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_custom_vjp_mixed_dtype():
+@pytest.mark.parametrize("vjp_mode", ["phase", "native"])
+def test_custom_vjp_mixed_dtype(monkeypatch, vjp_mode):
     """bf16 x/w3 with an f32 bias (the FusedUpConv training dtypes) must
-    differentiate — regression for the mixed-dtype gradient-conv TypeError."""
+    differentiate under BOTH gradient formulations — regression for the
+    mixed-dtype gradient-conv TypeError; the native path is what the TPU
+    training default runs (ADVICE r4)."""
+    from strajnet_tpu.ops import upconv
+
+    monkeypatch.setattr(upconv, "_VJP_MODE", vjp_mode)
     n, h, w, cin, cout = 2, 4, 4, 3, 4
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(n, h, w, cin), jnp.bfloat16)
