@@ -233,5 +233,19 @@ def flow_warp_origin(flow_origin_occupancy: jax.Array,
     from strajnet_tpu.ops import pallas_warp_gather
     if use_kernel and pallas_warp_gather.supports(flow_origin_occupancy,
                                                   warp):
-        return pallas_warp_gather.sample_dense(flow_origin_occupancy, warp)
+        # Mesh composition: on a >1-device mesh the pallas_call must ride
+        # shard_map over the leading (batch-major S = B*T) axis — GSPMD
+        # cannot partition an opaque custom call (parallel/mesh.py).
+        from strajnet_tpu.parallel.mesh import active_mesh, data_shard_map
+        mesh = active_mesh()
+        if mesh is not None:
+            if flow_origin_occupancy.shape[0] % mesh.shape["data"] == 0:
+                return data_shard_map(
+                    pallas_warp_gather.sample_dense, mesh, 2, 0)(
+                        flow_origin_occupancy, warp)
+            # indivisible shard: fall through to the portable XLA path,
+            # which GSPMD partitions natively
+        else:
+            return pallas_warp_gather.sample_dense(flow_origin_occupancy,
+                                                   warp)
     return sample(flow_origin_occupancy, warp, pixel_type=PixelType.INTEGER)

@@ -33,6 +33,7 @@ from strajnet_tpu.ops.windows import (
     window_partition,
     window_reverse,
 )
+from strajnet_tpu.parallel.mesh import active_mesh, data_shard_map
 
 Dtype = Any
 
@@ -320,14 +321,38 @@ class SwinTransformerBlock(nn.Module):
                     draws.append(jnp.floor(
                         keep + jax.random.uniform(rng, (xb.shape[0],))) / keep)
                 dpm = jnp.stack(draws, axis=1)
-            y = block_fn(
-                xb, wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
-                bproj.astype(dt), rel_bias.astype(jnp.float32),
-                ln1s, ln1b, ln2s, ln2b, w1.astype(dt), b1_, w2.astype(dt),
-                b2_, jnp.asarray(mask) if mask is not None else None,
-                dpm, window_size=window_size, num_heads=self.num_heads,
-                eps=1e-5, windows_per_program=self.windows_per_program,
-                samples_per_program=self.samples_per_program)
+
+            params = (wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
+                      bproj.astype(dt), rel_bias.astype(jnp.float32),
+                      ln1s, ln1b, ln2s, ln2b, w1.astype(dt), b1_,
+                      w2.astype(dt), b2_)
+            kwargs = dict(window_size=window_size,
+                          num_heads=self.num_heads, eps=1e-5,
+                          windows_per_program=self.windows_per_program,
+                          samples_per_program=self.samples_per_program)
+            mask_arr = jnp.asarray(mask) if mask is not None else None
+
+            # Mesh composition (SURVEY §2.7): GSPMD cannot partition a bare
+            # pallas_call, so on a >1-device mesh the kernel rides
+            # shard_map over the batch ('data') axis — each device runs the
+            # kernel on its local batch shard; replicated-param cotangents
+            # psum at the boundary (standard shard_map autodiff).
+            mesh = active_mesh()
+            if mesh is not None and xb.shape[0] % mesh.shape["data"] == 0:
+                dp_arr = (dpm if dpm is not None
+                          else jnp.ones((xb.shape[0], 2), jnp.float32))
+                extras = (params if mask_arr is None
+                          else params + (mask_arr,))
+                has_mask = mask_arr is not None
+
+                def kern(xb_, dp_, *ps):
+                    msk = ps[-1] if has_mask else None
+                    return block_fn(xb_, *ps[:13], msk, dp_, **kwargs)
+
+                y = data_shard_map(kern, mesh, 2, len(extras))(
+                    xb, dp_arr, *extras)
+            else:
+                y = block_fn(xb, *params, mask_arr, dpm, **kwargs)
             if shift_size > 0:
                 y = jnp.roll(y, shift=(shift_size, shift_size), axis=(1, 2))
             return y.reshape(-1, h * w, c)
@@ -348,14 +373,30 @@ class SwinTransformerBlock(nn.Module):
 
             dt = self.dtype
             wqkv, bqkv, wproj, bproj, rel_bias = attn_mod.fused_params()
-            x = fused_window_attention(
-                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
-                wproj.astype(dt), bproj.astype(dt),
-                rel_bias.astype(jnp.float32),
-                jnp.asarray(mask) if mask is not None else None,
-                window_size=window_size, num_heads=self.num_heads,
-                windows_per_program=self.windows_per_program,
-                samples_per_program=self.samples_per_program)
+            params = (wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
+                      bproj.astype(dt), rel_bias.astype(jnp.float32))
+            kwargs = dict(window_size=window_size,
+                          num_heads=self.num_heads,
+                          windows_per_program=self.windows_per_program,
+                          samples_per_program=self.samples_per_program)
+            mask_arr = jnp.asarray(mask) if mask is not None else None
+            mesh = active_mesh()
+            if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+                # same shard_map composition as the block kernel above
+                extras = (params if mask_arr is None
+                          else params + (mask_arr,))
+                has_mask = mask_arr is not None
+
+                def kern(x_, *ps):
+                    msk = ps[-1] if has_mask else None
+                    return fused_window_attention(x_, *ps[:5], msk,
+                                                  **kwargs)
+
+                x = data_shard_map(kern, mesh, 1, len(extras))(
+                    x.astype(dt), *extras)
+            else:
+                x = fused_window_attention(x.astype(dt), *params,
+                                           mask_arr, **kwargs)
         else:
             x_windows = window_partition(x, window_size)
             x_windows = x_windows.reshape(-1, window_size * window_size, c)

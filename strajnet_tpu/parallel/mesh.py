@@ -147,6 +147,42 @@ def shard_batch_multihost(batch, mesh: Mesh):
         batch)
 
 
+def active_mesh(axis: str = "data") -> Optional[Mesh]:
+    """The physical mesh of the enclosing ``with mesh:`` context, when one
+    with more than one device and the named axis is active at trace time.
+
+    Used by the kernel call sites (models/swin.py, core/sampling.py) to
+    decide whether a ``pallas_call`` must be wrapped in ``jax.shard_map``
+    so it composes with the multi-chip program: GSPMD treats a bare
+    ``pallas_call`` as an opaque custom call it cannot partition, so on a
+    >1-device mesh the kernels either ride shard_map over the batch axis
+    or fall back to XLA (SURVEY §2.7 "kernels remain shardable").
+    """
+    try:
+        from jax._src import mesh as mesh_lib
+        m = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:
+        return None
+    if m.empty or m.size <= 1 or axis not in m.axis_names:
+        return None
+    return m
+
+
+def data_shard_map(fn, mesh: Mesh, n_sharded: int, n_replicated: int,
+                   axis: str = "data"):
+    """Wraps ``fn(*sharded, *replicated)`` in shard_map over ``axis``.
+
+    The first ``n_sharded`` array arguments split on their leading (batch)
+    dimension; the rest are replicated. Gradient flow is standard shard_map
+    autodiff: cotangents of replicated operands are psummed over the axis
+    at the boundary. ``check_vma=False`` because Pallas calls carry no
+    replication rules.
+    """
+    in_specs = tuple([P(axis)] * n_sharded + [P()] * n_replicated)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(axis), check_vma=False)
+
+
 def sharding_hint(x, *axes):
     """Best-effort ``with_sharding_constraint`` for activation (sp) sharding.
 

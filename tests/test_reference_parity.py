@@ -49,65 +49,12 @@ CFG = dict(img_size=(512, 512), window_size=8, embed_dim=96,
            depths=[2, 2, 2], num_heads=[3, 6, 12])
 
 
-# The reference passes fixed name= strings, so several weights share the
-# exact same Keras name (three 'patch_embed/proj/kernel', two
-# 'all_norm/gamma' — verified empirically). Disambiguate by occurrence
-# index in ref.weights order (= construction order).
-_DUP_MAP = {
-    "patch_embed": ["patch_embed_vehicle", "patch_embed_flow",
-                    "patch_embed_map"],
-    "all_norm": ["flow_norm", "all_patch_norm"],
-}
-
-
-import re
-
-_EXPLICIT_HEAD = re.compile(
-    r"^(flow_layers\d+|layers\d+|patch_embed|all_norm)$")
-
-
-def _keras_name_to_flax_path(name, seen_counts):
-    """Maps a Keras weight name to a flax param path tuple.
-
-    Keras prefixes weights with auto-generated class-name scopes
-    (basic_layer_3/swin_transformer_block_7/...); the reference's explicit
-    `name=` strings (layers0/blocks0/attn/qkv, ...) appear as the suffix —
-    find the first explicit component and keep from there.
-    """
-    name = name.split(":")[0]
-    comps = name.split("/")
-    for i, c in enumerate(comps):
-        if _EXPLICIT_HEAD.match(c):
-            comps = comps[i:]
-            break
-    name = "/".join(comps)
-    head = comps[0]
-    if head in _DUP_MAP:
-        idx = seen_counts.get(name, 0)
-        seen_counts[name] = idx + 1
-        name = _DUP_MAP[head][idx] + name[len(head):]
-    name = name.replace("flow_layers0/", "flow_layer/")
-    parts = [p for p in name.split("/") if p]
-    # keras LN params (gamma/beta) -> our LayerNorm wrapper's nn.LayerNorm
-    if parts[-1] == "gamma":
-        parts = parts[:-1] + ["LayerNorm_0", "scale"]
-    elif parts[-1] == "beta":
-        parts = parts[:-1] + ["LayerNorm_0", "bias"]
-    return parts
-
-
-def _set_in(tree, parts, value):
-    node = tree
-    for p in parts[:-1]:
-        if p not in node:
-            raise KeyError(f"missing path {parts} at {p}: "
-                           f"have {list(node.keys())}")
-        node = node[p]
-    if parts[-1] not in node:
-        raise KeyError(f"missing leaf {parts}: have {list(node.keys())}")
-    assert node[parts[-1]].shape == value.shape, (
-        parts, node[parts[-1]].shape, value.shape)
-    node[parts[-1]] = jnp.asarray(value)
+# Mapping machinery promoted to strajnet_tpu.interop.ref_import (used by
+# the checkpoint importer); aliased here for the sibling parity tests.
+from strajnet_tpu.interop.ref_import import (  # noqa: E402
+    keras_name_to_flax_path as _keras_name_to_flax_path,
+    set_in as _set_in,
+)
 
 
 @pytest.mark.slow

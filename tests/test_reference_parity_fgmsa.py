@@ -27,103 +27,13 @@ def ref_env():
     return load_reference_module("modules")
 
 
-def _assign_by_order(params, order, ref_weights, skip_names=()):
-    """Copies ref weights (construction order) into flax paths by position.
-
-    ``order`` is a list of (path_tuple, reshape_fn or None). Index into a
-    stacked (vmapped) param with an int component.
-    """
-    import flax
-
-    params = flax.core.unfreeze(params)
-    weights = [w for w in ref_weights
-               if not any(s in w.name for s in skip_names)]
-    assert len(weights) == len(order), (
-        [w.name for w in weights], len(order))
-    for (path, reshape), w in zip(order, weights):
-        node = params
-        for p in path[:-1]:
-            node = node[p] if not isinstance(p, int) else node
-        leaf = path[-1]
-        value = np.asarray(w)
-        if reshape is not None:
-            value = reshape(value)
-        idx = [p for p in path if isinstance(p, int)]
-        node2 = params
-        for p in path[:-1]:
-            if isinstance(p, int):
-                continue
-            node2 = node2[p]
-        if idx:
-            cur = node2[leaf]
-            assert cur.shape[1:] == value.shape, (path, cur.shape,
-                                                  value.shape)
-            node2[leaf] = jnp.asarray(np.asarray(cur).copy()).at[
-                idx[0]].set(value)
-        else:
-            assert node2[leaf].shape == value.shape, (path,
-                                                      node2[leaf].shape,
-                                                      value.shape)
-            node2[leaf] = jnp.asarray(value)
-    return params
-
-
-def fgmsa_order():
-    """Construction order of reference FGMSA weights (FG_MSA.py __init__)."""
-    return [
-        (("conv_offset_0", "kernel"), None),
-        (("conv_offset_0", "bias"), None),
-        (("conv_norm", "LayerNorm_0", "scale"), None),
-        (("conv_norm", "LayerNorm_0", "bias"), None),
-        (("conv_offset_proj", "kernel"), None),
-        (("conv_offset_proj2", "kernel"), None),
-        (("conv_offset_proj2", "bias"), None),
-        (("proj_q", "kernel"), None),
-        (("proj_q", "bias"), None),
-        (("proj_k", "kernel"), None),
-        (("proj_k", "bias"), None),
-        (("proj_v", "kernel"), None),
-        (("proj_v", "bias"), None),
-        (("proj_out", "kernel"), None),
-        (("proj_out", "bias"), None),
-        (("rpe_table",), None),
-    ]
-
-
-def _conv3d_to_temporal(v):  # (8,1,1,Cin,Cout) -> (8,Cin,Cout)
-    return v[:, 0, 0]
-
-
-def decoder_order():
-    """Reference Pyramid3DDecoder weight order at the training config
-    (modules.py __init__): upsample(no w), upconv_0s [3,2,1,0], then flow
-    branch (upsample_f, upconv_f [1,0], res_f, 'outconv_f'), then res_layer
-    [3,2], output_layer."""
-    order = [
-        (("upconv_3_0", "conv", "kernel"), None),
-        (("upconv_3_0", "conv", "bias"), None),
-        (("upconv_2_0", "conv", "kernel"), None),
-        (("upconv_2_0", "conv", "bias"), None),
-        (("upconv_1_0", "conv", "kernel"), None),
-        (("upconv_1_0", "conv", "bias"), None),
-        (("upconv_0_0", "conv", "kernel"), None),
-        (("upconv_0_0", "conv", "bias"), None),
-        (("upconvf_1_0", "conv", "kernel"), None),
-        (("upconvf_1_0", "conv", "bias"), None),
-        (("upconvf_0_0", "conv", "kernel"), None),
-        (("upconvf_0_0", "conv", "bias"), None),
-        (("resconv_f", "kernel"), _conv3d_to_temporal),
-        (("resconv_f", "bias"), None),
-        (("outconv_f", "kernel"), None),
-        (("outconv_f", "bias"), None),
-        (("resconv_3", "kernel"), _conv3d_to_temporal),
-        (("resconv_3", "bias"), None),
-        (("resconv_2", "kernel"), _conv3d_to_temporal),
-        (("resconv_2", "bias"), None),
-        (("outconv", "kernel"), None),
-        (("outconv", "bias"), None),
-    ]
-    return order
+# Mapping machinery promoted to strajnet_tpu.interop.ref_import (used by
+# the checkpoint importer); aliased here for the sibling parity tests.
+from strajnet_tpu.interop.ref_import import (  # noqa: E402
+    assign_by_order as _assign_by_order,
+    decoder_order,
+    fgmsa_order,
+)
 
 
 def test_fgmsa_matches_reference(ref_env):

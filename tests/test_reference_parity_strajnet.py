@@ -42,30 +42,7 @@ def ref_model():
     return modules.STrajNet(cfg=cfg, fg_msa=True, fg=True)
 
 
-def test_full_strajnet_matches_reference(ref_model):
-    tf = pytest.importorskip("tensorflow")
-    import flax
-
-    from strajnet_tpu.config import STRAJNET_CONFIG
-    from strajnet_tpu.models.strajnet import STrajNet
-    from tests.test_reference_parity import (
-        _keras_name_to_flax_path,
-        _set_in,
-    )
-    from tests.test_reference_parity_fgmsa import (
-        _assign_by_order,
-        decoder_order,
-        fgmsa_order,
-    )
-    from tests.test_reference_parity_trajnet import assign_trajnet_weights
-
-    rng = np.random.RandomState(0)
-    ref = ref_model
-    for w in ref.weights:
-        if "relative_position_index" in w.name or "attn_mask" in w.name:
-            continue
-        w.assign(rng.randn(*w.shape).astype(np.float32) * 0.05)
-
+def _random_inputs(rng):
     ogm = (rng.rand(1, 512, 512, 11, 2) > 0.7).astype(np.float32)
     map_img = rng.rand(1, 256, 256, 3).astype(np.float32)
     flow = rng.randn(1, 512, 512, 2).astype(np.float32)
@@ -74,11 +51,34 @@ def test_full_strajnet_matches_reference(ref_model):
     occ = rng.randn(1, 16, 11, 8).astype(np.float32)
     occ[:, 5:] = 0.0
     mapt = np.zeros((1, 256, 10, 7), np.float32)
+    return ogm, map_img, flow, obs, occ, mapt
 
-    ref_out = np.asarray(ref(tf.constant(ogm), tf.constant(map_img),
-                             training=False, obs=tf.constant(obs),
-                             occ=tf.constant(occ), mapt=tf.constant(mapt),
-                             flow=tf.constant(flow)))
+
+def _ref_forward(ref, ogm, map_img, flow, obs, occ, mapt):
+    import tensorflow as tf
+
+    return np.asarray(ref(tf.constant(ogm), tf.constant(map_img),
+                          training=False, obs=tf.constant(obs),
+                          occ=tf.constant(occ), mapt=tf.constant(mapt),
+                          flow=tf.constant(flow)))
+
+
+def test_full_strajnet_matches_reference(ref_model):
+    pytest.importorskip("tensorflow")
+
+    from strajnet_tpu.config import STRAJNET_CONFIG
+    from strajnet_tpu.interop.ref_import import copy_strajnet_weights
+    from strajnet_tpu.models.strajnet import STrajNet
+
+    rng = np.random.RandomState(0)
+    ref = ref_model
+    for w in ref.weights:
+        if "relative_position_index" in w.name or "attn_mask" in w.name:
+            continue
+        w.assign(rng.randn(*w.shape).astype(np.float32) * 0.05)
+
+    ogm, map_img, flow, obs, occ, mapt = _random_inputs(rng)
+    ref_out = _ref_forward(ref, ogm, map_img, flow, obs, occ, mapt)
 
     import dataclasses
     cfg = dataclasses.replace(STRAJNET_CONFIG, dtype="float32")
@@ -87,32 +87,51 @@ def test_full_strajnet_matches_reference(ref_model):
                   obs=jnp.asarray(obs), occ=jnp.asarray(occ),
                   mapt=jnp.asarray(mapt), flow=jnp.asarray(flow))
     variables = ours.init(jax.random.PRNGKey(0), **inputs)
-    params = flax.core.unfreeze(variables["params"])
 
-    # 1. encoder: name-based mapping (Keras duplicates explicit names;
-    #    occurrence-indexed — tests/test_reference_parity.py).
-    seen = {}
-    copied = 0
-    for w in ref.encoder.weights:
-        if "relative_position_index" in w.name or "attn_mask" in w.name:
-            continue
-        parts = _keras_name_to_flax_path(w.name, seen)
-        _set_in(params["encoder"], parts, np.asarray(w))
-        copied += 1
-    assert copied >= 50
-
-    # 2. FG-MSA + decoder: construction-order mapping.
-    params["fg_msa_layer"] = _assign_by_order(
-        params["fg_msa_layer"], fgmsa_order(), ref.fg_msa_layer.weights)
-    params["decoder"] = _assign_by_order(
-        params["decoder"], decoder_order(), ref.decoder.weights)
-
-    # 3. trajectory cross-attention: construction order incl. the 8 stacked
-    #    per-waypoint layers.
-    params["trajnet_attn"] = assign_trajnet_weights(
-        params["trajnet_attn"], ref.trajnet_attn.weights)
+    # the full importer machinery (interop.ref_import), golden-verified here
+    params = copy_strajnet_weights(ref, variables["params"])
 
     our_out = np.asarray(ours.apply({"params": params}, **inputs))
+
+    assert our_out.shape == ref_out.shape == (1, 256, 256, 32)
+    err = np.abs(our_out - ref_out).max() / (np.abs(ref_out).mean() + 1e-6)
+    assert err < 5e-3, err
+
+
+def test_import_ref_checkpoint_round_trip(ref_model, tmp_path):
+    """save_weights -> import_ref_checkpoint -> forward parity: the full
+    user path of tools/import_ref_weights.py (a published reference ``.tf``
+    checkpoint restored through Keras load_weights, then mapped to Flax).
+    """
+    pytest.importorskip("tensorflow")
+
+    from strajnet_tpu.config import STRAJNET_CONFIG
+    from strajnet_tpu.interop.ref_import import import_ref_checkpoint
+    from strajnet_tpu.models.strajnet import STrajNet
+
+    rng = np.random.RandomState(7)
+    ref = ref_model
+    for w in ref.weights:
+        if "relative_position_index" in w.name or "attn_mask" in w.name:
+            continue
+        w.assign(rng.randn(*w.shape).astype(np.float32) * 0.05)
+
+    ckpt = str(tmp_path / "model_14_0.0_0.0.tf")
+    ref.save_weights(ckpt)
+
+    ogm, map_img, flow, obs, occ, mapt = _random_inputs(rng)
+    ref_out = _ref_forward(ref, ogm, map_img, flow, obs, occ, mapt)
+
+    import dataclasses
+    cfg = dataclasses.replace(STRAJNET_CONFIG, dtype="float32")
+    params, cfg = import_ref_checkpoint(ckpt, model_cfg=cfg)
+
+    ours = STrajNet(cfg=cfg)
+    our_out = np.asarray(ours.apply(
+        {"params": params}, ogm=jnp.asarray(ogm),
+        map_img=jnp.asarray(map_img), obs=jnp.asarray(obs),
+        occ=jnp.asarray(occ), mapt=jnp.asarray(mapt),
+        flow=jnp.asarray(flow)))
 
     assert our_out.shape == ref_out.shape == (1, 256, 256, 32)
     err = np.abs(our_out - ref_out).max() / (np.abs(ref_out).mean() + 1e-6)
