@@ -40,11 +40,13 @@ A100_REFERENCE_SCENES_PER_SEC = 293.0
 V5E_PEAK_FLOPS = 197e12
 
 # Headline batch: the reference's checked-in default (train.py:51), fixed
-# across rounds so `value` stays a comparable series. The sweep point
-# (batch 64, measured best per-scene in round 4's builder runs) runs only
-# if budget remains after the headline + training phases.
+# across rounds so `value` stays a comparable series. The sweep point runs
+# only if budget remains after the headline + training phases. Batch 64
+# does NOT fit: the flagship forward exhausts the v5e's 16 GB HBM at
+# runtime (measured RESOURCE_EXHAUSTED, round 5), so 32 is the largest
+# sweep point.
 HEADLINE_BATCH = 16
-SWEEP_BATCH = 64
+SWEEP_BATCH = 32
 TRAIN_BATCH = 16
 WARMUP = 3
 ITERS = 20
@@ -102,12 +104,20 @@ def bench_inference(cfg, batch):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    # per-scene FLOPs from the compiled program (for the MFU figure)
+    # per-scene FLOPs for the MFU figure, from the LOWERED (pre-compile)
+    # module — r4's bench compiled a second flagship program just for this
+    # number, which alone blew the cold-phase budget. TPU lowerings through
+    # the remote client report no pre-compile flops; fall back to the
+    # round-4 roofline's compiled-program measurement (PARITY.md: full
+    # forward = 1365 GF at batch 16, block kernels' internal FLOPs opaque)
+    # rather than cold-compiling a second flagship program.
     try:
-        cost = forward.lower(params, inputs).compile().cost_analysis()
-        flops_per_batch = float(cost.get("flops", 0.0))
+        cost = forward.lower(params, inputs).cost_analysis()
+        flops_per_batch = float(cost.get("flops", 0.0) or 0.0)
     except Exception:
         flops_per_batch = 0.0
+    if not flops_per_batch:
+        flops_per_batch = 1365e9 / 16 * batch
 
     float(forward_n(params, inputs, WARMUP))  # compile + sync warmup
 
