@@ -50,7 +50,15 @@ def run(mode_arg: str, batch: int, out_path: str):
     from strajnet_tpu.train.step import ensure_f32
 
     mode = {"block": "block", "attn": "attn", "none": False}[mode_arg]
-    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode)
+    # drop_path_rate=0: the kernel and XLA paths consume the dropout RNG
+    # stream in different orders (per-block threaded masks vs in-module
+    # draws), so with stochastic depth active the two modes compute
+    # DIFFERENT functions and the comparison is meaningless. Zeroing it
+    # makes both paths deterministic and bit-comparable while keeping the
+    # full training program structure (training=True, full grad tree as
+    # outputs — the bisect's crash trigger).
+    cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
+                              drop_path_rate=0.0)
     loss_cfg = LossConfig(warp_kernel=bool(mode))
     task = TaskConfig(grid_height_cells=cfg.output_size[0],
                       grid_width_cells=cfg.output_size[1],
@@ -101,32 +109,46 @@ def run(mode_arg: str, batch: int, out_path: str):
           f"leaves={len(flat) - 1} -> {out_path}", flush=True)
 
 
+# Gradient leaves that are MATHEMATICALLY ZERO: a constant bias added to
+# every attention key shifts each logit by the same q.b, so softmax (and
+# hence the loss) is invariant to it — autodiff computes it as a sum of
+# large canceling terms, i.e. pure rounding noise, uncorrelated between
+# formulations. Excluded from the pass/fail count (reported separately).
+_ZERO_GRAD_LEAVES = ("g:fg_msa_layer/proj_k/bias",)
+
+
 def compare(a_path: str, b_path: str, rtol: float = 1e-2):
     a, b = np.load(a_path), np.load(b_path)
     assert set(a.files) == set(b.files), "leaf sets differ"
     print(f"loss: {float(a['__loss__']):.6f} vs {float(b['__loss__']):.6f}")
-    worst = []
-    n_bad = 0
+    grads, n_bad = [], 0
     for k in sorted(a.files):
-        if k == "__loss__":
+        if not k.startswith("g:"):
+            # post-step params are not comparable on zero-init biases:
+            # Nadam's /sqrt(v) normalization turns ANY sub-noise grad sign
+            # flip into a full +/-lr update — judge the grads directly.
             continue
-        va, vb = a[k], b[k]
+        va = a[k].astype(np.float64)
+        vb = b[k].astype(np.float64)
         scale = max(np.abs(va).max(), np.abs(vb).max(), 1e-8)
         err = float(np.abs(va - vb).max() / scale)
-        worst.append((err, k, float(scale)))
-        if err > rtol:
+        cos = float((va * vb).sum() /
+                    max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
+        grads.append((err, 1.0 - cos, k, float(scale)))
+        if err > rtol and k not in _ZERO_GRAD_LEAVES:
             n_bad += 1
-    worst.sort(reverse=True)
-    grad_errs = [e for e, k, _ in worst if k.startswith("g:")]
-    param_errs = [e for e, k, _ in worst if k.startswith("p:")]
-    print(f"grad leaves: {len(grad_errs)}, max rel err "
-          f"{max(grad_errs):.3e}, median {np.median(grad_errs):.3e}")
-    print(f"post-step param leaves: {len(param_errs)}, max rel err "
-          f"{max(param_errs):.3e}")
-    print("worst 8 leaves:")
-    for err, k, scale in worst[:8]:
-        print(f"  {err:.3e}  (scale {scale:.2e})  {k}")
-    print(f"leaves over rtol={rtol}: {n_bad}")
+    grads.sort(reverse=True)
+    errs = np.array([g[0] for g in grads])
+    dcos = np.array([g[1] for g in grads])
+    print(f"grad leaves: {len(grads)}; max-rel median {np.median(errs):.3e}"
+          f" max {errs.max():.3e}; 1-cos median {np.median(dcos):.3e}"
+          f" max {dcos.max():.3e}")
+    print("worst 8 grad leaves:")
+    for err, dc, k, scale in grads[:8]:
+        zero = "  [math-zero grad: noise]" if k in _ZERO_GRAD_LEAVES else ""
+        print(f"  maxrel {err:.3e}  1-cos {dc:.3e}  (scale {scale:.2e})"
+              f"  {k}{zero}")
+    print(f"grad leaves over rtol={rtol} (excl. math-zero): {n_bad}")
     return 1 if n_bad else 0
 
 
