@@ -45,12 +45,35 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig,
-                       rng: Optional[jax.Array] = None) -> TrainState:
+                       rng: Optional[jax.Array] = None,
+                       jit_init: Optional[bool] = None) -> TrainState:
+    """``jit_init`` compiles the whole flax init into ONE program instead of
+    dispatching thousands of tiny eager ops. Through a remote-device client
+    (axon tunnel) eager init is RTT-bound at minutes per flagship model;
+    the jitted program is seconds warm (and persists in the compilation
+    cache). Default: auto — jit on TPU, eager elsewhere (XLA-CPU compile of
+    the flagship init program would itself take minutes, e.g. in the
+    virtual-mesh dry run). Results are bit-identical either way (threefry
+    RNG is deterministic under jit)."""
     if rng is None:
         rng = jax.random.PRNGKey(train_cfg.seed)
     model = STrajNet(cfg=model_cfg)
     inputs = dummy_inputs(model_cfg, batch=1)
-    variables = model.init(rng, **inputs)
+    if jit_init is None:
+        jit_init = jax.default_backend() == "tpu"
+    if jit_init:
+        # Init through the kernels-OFF twin: the param tree is identical
+        # (flax param values depend only on the param path and the root
+        # rng, and the Pallas paths declare exactly the XLA modules'
+        # params), so every kernel-mode/strip-width variant shares ONE
+        # cached init program.
+        import dataclasses
+        init_model = STrajNet(cfg=dataclasses.replace(
+            model_cfg, use_pallas_attention=False))
+        variables = jax.jit(
+            lambda r, kw: init_model.init(r, **kw))(rng, inputs)
+    else:
+        variables = model.init(rng, **inputs)
     return TrainState.create(apply_fn=model.apply,
                              params=variables["params"],
                              tx=make_optimizer(train_cfg))

@@ -45,6 +45,25 @@ def _jnp_batch(b, seed=0):
             synthetic_batch(CFG, b, seed).items()}
 
 
+@pytest.mark.parametrize("pallas", [None, "block"])
+def test_jit_init_matches_eager_init(state, pallas):
+    """create_train_state(jit_init=True) — the TPU default, one compiled
+    init program (through the kernels-OFF twin model) instead of eager
+    op-by-op — is bit-identical to eager init of the requested config
+    (the module-scoped ``state`` fixture): threefry RNG folds per param
+    PATH, so values are independent of both jit and the kernel mode."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, use_pallas_attention=pallas)
+    jitted = create_train_state(cfg, TRAIN, jit_init=True)
+    flat_a = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_b = jax.tree_util.tree_leaves_with_path(jitted.params)
+    assert len(flat_a) == len(flat_b)
+    for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=str(pa))
+
+
 def test_train_step_runs_updates_and_converges(state, train_step):
     batch = _jnp_batch(2)
     new_state, losses = train_step(state, batch, jax.random.PRNGKey(0))

@@ -44,7 +44,14 @@ if compact:
     # production feed dtypes (compact pipeline): uint8 grids, f16 map
     inputs["ogm"] = inputs["ogm"].astype(jnp.uint8)
     inputs["map_img"] = inputs["map_img"].astype(jnp.float16)
-params = model.init(jax.random.PRNGKey(0), **inputs)
+# jitted one-program init via the kernels-off twin (identical param tree,
+# ONE cached program shared across every mode/wpp/spp sweep point; eager
+# init through the remote tunnel is RTT-bound at ~8 min — BASELINE.md
+# "Bench wall anatomy")
+_init_model = STrajNet(cfg=dataclasses.replace(
+    cfg, use_pallas_attention=False))
+params = jax.jit(lambda r, kw: _init_model.init(r, **kw))(
+    jax.random.PRNGKey(0), dummy_inputs(cfg, batch=1, dtype=jnp.float32))
 
 
 @jax.jit
