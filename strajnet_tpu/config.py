@@ -171,18 +171,28 @@ class ModelConfig:
     use_pallas_attention: Optional[Union[bool, str]] = None
 
     # Dense-strip width of the Pallas attention/block kernels, in windows
-    # per program (None = one full row of windows). The dense formulation
-    # spends a factor (width) of its logits/softmax arithmetic on masked
-    # cross-window pairs, so narrower strips do proportionally less work
-    # but dispatch more, smaller matmuls — a TPU tuning knob
-    # (ops/pallas_window_attention.py). An int applies to every stage;
-    # a tuple gives per-stage widths (flow branch = stage 0's entry).
+    # per program. The dense formulation spends a factor (width) of its
+    # logits/softmax arithmetic on masked cross-window pairs, so narrower
+    # strips do proportionally less work but dispatch more, smaller
+    # matmuls (ops/pallas_window_attention.py). An int applies to every
+    # stage; a tuple gives per-stage widths (flow branch = stage 0's
+    # entry); <=0 = one full row of windows. None = AUTO (resolved in
+    # models/strajnet.py next to the kernel auto-selection): width 2 on
+    # TPU — the measured v5e flagship optimum (PARITY.md "Strip-width
+    # sweep": batch-16 inference 442->478 scenes/s, training 198->191
+    # ms/step vs full-row; wpp=1 regresses to 412, dispatch-bound;
+    # wpp=4+spp=4 hit a pathological >30-min Mosaic compile) — and
+    # full-row elsewhere (narrow strips multiply interpret-mode grid
+    # steps on CPU). Indivisible window rows fall back to full-row per
+    # call site.
     pallas_windows_per_program: Union[int, Tuple[int, ...], None] = None
 
-    # Batch samples per forward kernel program (must divide the batch;
-    # amortizes grid-step overhead when strips are narrow). Forward-only:
-    # the backward kernels always run one sample per program.
-    pallas_samples_per_program: int = 1
+    # Batch samples per forward kernel program (must divide the batch,
+    # else that call site falls back to 1; amortizes grid-step overhead
+    # when strips are narrow). Forward-only: the backward kernels always
+    # run one sample per program. None = AUTO: 8 on TPU (best measured
+    # with wpp=2; spp=16 ties at 475; see PARITY.md), 1 elsewhere.
+    pallas_samples_per_program: Optional[int] = None
 
     # Rematerialize encoder Swin blocks in the backward (jax.checkpoint /
     # nn.remat): recompute each block's forward instead of storing its

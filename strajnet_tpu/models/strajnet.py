@@ -51,6 +51,20 @@ class STrajNet(nn.Module):
         if use_pallas is None:
             use_pallas = "block" if jax.default_backend() == "tpu" else False
 
+        # AUTO strip width / sample packing (None): the measured v5e
+        # optimum on TPU (PARITY.md "Strip-width sweep": wpp=2 spp=8 →
+        # 442→478 scenes/s inference, 198→191 ms/step training); full-row
+        # strips (0) and spp=1 elsewhere — narrow strips multiply the CPU
+        # interpreter's grid steps. Explicit values pass through (<=0 =
+        # full row at the kernel layer).
+        on_tpu = jax.default_backend() == "tpu"
+        wpp = cfg.pallas_windows_per_program
+        if wpp is None:
+            wpp = 2 if on_tpu else 0
+        spp = cfg.pallas_samples_per_program
+        if spp is None:
+            spp = 8 if on_tpu else 1
+
         res_list = SwinTransformerEncoder(
             img_size=cfg.input_size,
             patch_size=(cfg.patch_size, cfg.patch_size),
@@ -63,8 +77,8 @@ class STrajNet(nn.Module):
             no_map=cfg.no_map, flow_sep=cfg.flow_sep, use_flow=cfg.use_flow,
             large_input=cfg.large_input,
             use_pallas=use_pallas,
-            windows_per_program=cfg.pallas_windows_per_program,
-            samples_per_program=cfg.pallas_samples_per_program,
+            windows_per_program=wpp,
+            samples_per_program=spp,
             remat=cfg.remat_encoder,
             spatial_shard=cfg.spatial_shard, dtype=dt,
             name="encoder")(ogm, map_img, flow, deterministic)

@@ -42,7 +42,11 @@ for tail in TAILS:
                               use_pallas_decoder_tail=tail)
     model = STrajNet(cfg=cfg)
     inputs = dummy_inputs(cfg, batch=B, dtype=jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), **inputs)
+    # jitted one-program init via the kernels-off twin (eager init through
+    # the remote tunnel is RTT-bound at ~8 min — BASELINE.md)
+    _im = STrajNet(cfg=dataclasses.replace(cfg, use_pallas_attention=False))
+    params = jax.jit(lambda r, kw: _im.init(r, **kw))(
+        jax.random.PRNGKey(0), dummy_inputs(cfg, batch=1, dtype=jnp.float32))
 
     @jax.jit
     def forward_n(params, inputs, n, _m=model):

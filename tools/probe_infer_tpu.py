@@ -28,12 +28,13 @@ from strajnet_tpu.config import STRAJNET_CONFIG
 from strajnet_tpu.models.strajnet import STrajNet, dummy_inputs
 
 _w = sys.argv[3] if len(sys.argv) > 3 else "0"  # 0 = full-row strips
-wpp = (tuple(int(x) or None for x in _w.split(","))
+# 0 stays 0 = EXPLICIT full row (config None now means backend auto)
+wpp = (tuple(int(x) for x in _w.split(","))
        if "," in _w else int(_w))
 compact = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 spp = int(sys.argv[5]) if len(sys.argv) > 5 else 1  # samples/program
 cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
-                          pallas_windows_per_program=wpp or None,
+                          pallas_windows_per_program=wpp,
                           pallas_samples_per_program=spp)
 print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
       f"wpp={wpp or 'row'} compact={compact} spp={spp}", flush=True)

@@ -36,8 +36,9 @@ from strajnet_tpu.data.synthetic import synthetic_batch
 from strajnet_tpu.train.state import create_train_state
 from strajnet_tpu.train.step import make_train_step, zero_loss_sums
 
+# wpp 0 stays 0 = EXPLICIT full row (config None now means backend auto)
 cfg = dataclasses.replace(STRAJNET_CONFIG, use_pallas_attention=mode,
-                          pallas_windows_per_program=wpp or None,
+                          pallas_windows_per_program=wpp,
                           remat_encoder=remat)
 print(f"backend={jax.default_backend()} mode={mode_arg} batch={batch} "
       f"donate={donate} accumulate={accumulate}", flush=True)

@@ -91,7 +91,12 @@ def device_time(name, fn, params, inputs, probe_key):
 
 model = STrajNet(cfg=cfg)
 inputs = dummy_inputs(cfg, batch=B)
-params = model.init(jax.random.PRNGKey(0), **inputs)
+# jitted one-program init via the kernels-off twin (eager init through the
+# remote tunnel is RTT-bound at ~8 min — BASELINE.md "Bench wall anatomy")
+_init_model = STrajNet(cfg=dataclasses.replace(cfg,
+                                               use_pallas_attention=False))
+params = jax.jit(lambda r, kw: _init_model.init(r, **kw))(
+    jax.random.PRNGKey(0), dummy_inputs(cfg, batch=1))
 
 fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
 ca = fwd.lower(params, inputs).compile().cost_analysis()
