@@ -67,6 +67,10 @@ def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
             prev = losses_sum.get(k)
             losses_sum[k] = v if prev is None else prev + v
         n += 1
+    if n == 0:
+        raise FileNotFoundError(
+            f"no records matched {file_pattern!r} — --file_dir should be "
+            "the preprocessed-data ROOT (the CLI appends /val/*.tfrecords)")
     res = acc.get_result()
     res.update({f"val_{k}": float(v) / max(n, 1)
                 for k, v in losses_sum.items()})
