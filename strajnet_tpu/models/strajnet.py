@@ -21,6 +21,29 @@ from strajnet_tpu.models.swin import SwinTransformerEncoder
 from strajnet_tpu.models.trajnet import TrajNetCrossAttention
 
 
+def resolve_kernel_knobs(cfg: ModelConfig):
+    """Resolves the None=AUTO kernel knobs against the active backend.
+
+    Returns ``(use_pallas, windows_per_program, samples_per_program)``:
+    on TPU the fused block kernels with the measured v5e optimum
+    wpp=2/spp=8 (PARITY.md "Strip-width sweep"); elsewhere pure XLA with
+    full-row strips (narrow strips multiply the CPU interpreter's grid
+    steps). Explicit config values pass through unchanged (<=0 = full
+    row at the kernel layer). This is THE source of truth for the
+    kernel defaults the README points at."""
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = cfg.use_pallas_attention
+    if use_pallas is None:
+        use_pallas = "block" if on_tpu else False
+    wpp = cfg.pallas_windows_per_program
+    if wpp is None:
+        wpp = 2 if on_tpu else 0
+    spp = cfg.pallas_samples_per_program
+    if spp is None:
+        spp = 8 if on_tpu else 1
+    return use_pallas, wpp, spp
+
+
 class STrajNet(nn.Module):
     cfg: ModelConfig
 
@@ -47,23 +70,7 @@ class STrajNet(nn.Module):
         # block 222.8 ms/step vs 264.7 pure-XLA (attn 242.8). Escape
         # hatches stay: use_pallas_attention=False / --pallas off, and
         # LossConfig.warp_kernel=False for the loss-warp route.
-        use_pallas = cfg.use_pallas_attention
-        if use_pallas is None:
-            use_pallas = "block" if jax.default_backend() == "tpu" else False
-
-        # AUTO strip width / sample packing (None): the measured v5e
-        # optimum on TPU (PARITY.md "Strip-width sweep": wpp=2 spp=8 →
-        # 442→478 scenes/s inference, 198→191 ms/step training); full-row
-        # strips (0) and spp=1 elsewhere — narrow strips multiply the CPU
-        # interpreter's grid steps. Explicit values pass through (<=0 =
-        # full row at the kernel layer).
-        on_tpu = jax.default_backend() == "tpu"
-        wpp = cfg.pallas_windows_per_program
-        if wpp is None:
-            wpp = 2 if on_tpu else 0
-        spp = cfg.pallas_samples_per_program
-        if spp is None:
-            spp = 8 if on_tpu else 1
+        use_pallas, wpp, spp = resolve_kernel_knobs(cfg)
 
         res_list = SwinTransformerEncoder(
             img_size=cfg.input_size,

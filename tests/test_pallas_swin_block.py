@@ -336,3 +336,27 @@ def test_model_attn_mode_batch2_matches_xla():
     oa = ma.apply(params, **inputs)
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ox),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_resolve_kernel_knobs_auto(monkeypatch):
+    """None=AUTO kernel knobs resolve per backend: block/wpp2/spp8 on
+    TPU, XLA/full-row/1 elsewhere; explicit values pass through."""
+    import dataclasses
+
+    from strajnet_tpu.config import TINY_MODEL_CONFIG
+    from strajnet_tpu.models import strajnet as sn
+
+    auto = dataclasses.replace(TINY_MODEL_CONFIG, use_pallas_attention=None,
+                               pallas_windows_per_program=None,
+                               pallas_samples_per_program=None)
+    explicit = dataclasses.replace(auto, use_pallas_attention="attn",
+                                   pallas_windows_per_program=(4, 2, 2),
+                                   pallas_samples_per_program=16)
+
+    monkeypatch.setattr(sn.jax, "default_backend", lambda: "cpu")
+    assert sn.resolve_kernel_knobs(auto) == (False, 0, 1)
+    assert sn.resolve_kernel_knobs(explicit) == ("attn", (4, 2, 2), 16)
+
+    monkeypatch.setattr(sn.jax, "default_backend", lambda: "tpu")
+    assert sn.resolve_kernel_knobs(auto) == ("block", 2, 8)
+    assert sn.resolve_kernel_knobs(explicit) == ("attn", (4, 2, 2), 16)
