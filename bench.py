@@ -121,20 +121,15 @@ def bench_inference(cfg, batch):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    # per-scene FLOPs for the MFU figure, from the LOWERED (pre-compile)
-    # module — r4's bench compiled a second flagship program just for this
-    # number, which alone blew the cold-phase budget. TPU lowerings through
-    # the remote client report no pre-compile flops; fall back to the
-    # round-4 roofline's compiled-program measurement (PARITY.md: full
-    # forward = 1365 GF at batch 16, block kernels' internal FLOPs opaque)
-    # rather than cold-compiling a second flagship program.
-    try:
-        cost = forward.lower(params, inputs).cost_analysis()
-        flops_per_batch = float(cost.get("flops", 0.0) or 0.0)
-    except Exception:
-        flops_per_batch = 0.0
-    if not flops_per_batch:
-        flops_per_batch = 1365e9 / 16 * batch
+    # per-scene FLOPs for the MFU figure: the round-4 roofline's
+    # compiled-program measurement (PARITY.md: full forward = 1365 GF at
+    # batch 16; the block kernels' internal FLOPs are opaque to XLA cost
+    # analysis anyway). r4's bench compiled a second flagship program just
+    # for this number (which alone blew the cold-phase budget) and a
+    # pre-compile `forward.lower().cost_analysis()` reports no flops
+    # through the remote client while costing 1-2 min of host-side
+    # tracing per phase — so the measured constant is used directly.
+    flops_per_batch = 1365e9 / 16 * batch
 
     float(forward_n(params, inputs, WARMUP))  # compile + sync warmup
 
