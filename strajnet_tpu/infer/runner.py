@@ -43,7 +43,7 @@ def load_scenario_ids(ids_dir: str, test: bool = True) -> Set[str]:
 
 
 def run_shard(state, predict_step, shard_path: str, ids: Optional[Set[str]],
-              save_dir: str, batch_size: int = 8,
+              save_dir: str, batch_size: int = 16,
               compact: bool = True) -> int:
     """Predicts one test shard and writes its submission binproto.
 
@@ -113,8 +113,10 @@ def main():
     p.add_argument("--weight_path", type=str, default="",
                    help="Orbax checkpoint directory")
     p.add_argument("--no_id_check", action="store_true")
-    p.add_argument("--batch_size", type=int, default=8,
-                   help="scenarios per device batch (one host fetch each)")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="scenarios per device batch (one host fetch each); "
+                        "16 is the measured v5e throughput knee — 478 vs "
+                        "377 scenes/s at 8 (PARITY.md strip-sweep table)")
     p.add_argument("--no_compact", action="store_true",
                    help="feed f32 from the host instead of uint8/f16")
     p.add_argument("--split", type=str, default="test",
