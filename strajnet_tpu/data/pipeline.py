@@ -48,7 +48,13 @@ def make_train_dataset(file_pattern: str, batch_size: int,
 
 def make_eval_dataset(file_pattern: str, batch_size: int,
                       shard_index: int = 0, shard_count: int = 1,
-                      compact: bool = False):
+                      compact: bool = False, drop_remainder: bool = True):
+    """``drop_remainder``: the training loop's val pass keeps it True (its
+    batches shard onto the device mesh, so every batch must divide the
+    'data' axis); the standalone eval CLI passes False so the final
+    partial batch is still evaluated (the jitted eval step just compiles
+    one extra shape) instead of silently skipping up to batch_size-1
+    trailing records of the split."""
     tf = _tf()
     files = tf.io.matching_files(file_pattern)
     ds = tf.data.TFRecordDataset(files, compression_type="",
@@ -57,7 +63,7 @@ def make_eval_dataset(file_pattern: str, batch_size: int,
         ds = ds.shard(shard_count, shard_index)
     ds = ds.map(lambda ex: parse_train_example(ex, compact=compact),
                 num_parallel_calls=tf.data.AUTOTUNE)
-    ds = ds.batch(batch_size, drop_remainder=True)
+    ds = ds.batch(batch_size, drop_remainder=drop_remainder)
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds
 

@@ -6,7 +6,7 @@ jitted metric path.
 
 Usage:
     python -m strajnet_tpu.infer.evaluate --file_dir .../preprocessed_data \
-        --weight_path ./ckpt --batch_size 8
+        --weight_path ./ckpt --batch_size 16
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ from strajnet_tpu.train.state import create_train_state
 from strajnet_tpu.train.step import make_eval_step
 
 
-def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
+def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 16,
              pallas: str = "auto", no_warp: bool = False,
              compact: bool = True):
     """``pallas`` takes the same mode choices as the train CLI
@@ -58,8 +58,11 @@ def evaluate(file_pattern: str, weight_path: str = "", batch_size: int = 8,
     # the remote-TPU tunnel every eval batch — same pattern as
     # MetricsAccumulator / the training loop's LossMeans).
     losses_sum, n = {}, 0
+    # drop_remainder=False: evaluate the whole split exactly — the tail
+    # batch costs one extra eval-step compile, not dropped records.
     for batch in as_numpy(make_eval_dataset(file_pattern, batch_size,
-                                            compact=compact)):
+                                            compact=compact,
+                                            drop_remainder=False)):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         losses, metrics = eval_step(state, jbatch)
         acc.update_state(metrics)
@@ -84,7 +87,8 @@ def main():
     p.add_argument("--file_dir", type=str,
                    default="./Waymo_Dataset/preprocessed_data")
     p.add_argument("--weight_path", type=str, default="")
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="16 = the measured v5e throughput knee (PARITY.md)")
     p.add_argument("--pallas", type=str, default="auto",
                    choices=["auto", "off", "attn", "block", "block_fwd"],
                    help="Pallas kernel mode (same choices as the train CLI)")

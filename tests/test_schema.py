@@ -109,3 +109,22 @@ def test_test_roundtrip_with_scenario_id():
     assert parsed["scenario/id"].numpy() == b"scene-42"
     assert parsed["ogm"].shape == (512, 512, 11, 2)
     assert "gt_obs_ogm" not in parsed
+
+
+def test_eval_dataset_tail_batch(tmp_path):
+    """drop_remainder=False (the standalone eval CLI) keeps the ragged
+    tail batch; True (the train loop's mesh-sharded val pass) drops it."""
+    from strajnet_tpu.data.pipeline import as_numpy, make_eval_dataset
+
+    rng = np.random.RandomState(1)
+    path = str(tmp_path / "00000.tfrecords")
+    with tf.io.TFRecordWriter(path) as w:
+        for _ in range(3):
+            w.write(encode_example(_fake_features(rng)))
+
+    sizes = [b["ogm"].shape[0] for b in
+             as_numpy(make_eval_dataset(path, 2, drop_remainder=False))]
+    assert sizes == [2, 1]
+    sizes = [b["ogm"].shape[0] for b in
+             as_numpy(make_eval_dataset(path, 2))]
+    assert sizes == [2]
