@@ -173,10 +173,17 @@ def train(model_cfg: ModelConfig = STRAJNET_CONFIG,
             train_means = ({k: float(v) / max(n, 1)
                             for k, v in loss_sums.items()} if n else {})
 
+            # Ragged val tail: on a single-device data axis the tail batch
+            # is evaluated (reference behavior — its val dataset batches
+            # without drop_remainder, train.py:385); on a multi-device
+            # mesh it is dropped, since every batch must divide the
+            # 'data' axis.
+            data_axis = mesh.shape.get("data", 1)
             vds = make_eval_dataset(
                 f"{train_cfg.file_dir}/val/*.tfrecords", local_bs,
                 shard_index=proc, shard_count=n_proc,
-                compact=train_cfg.compact_feed)
+                compact=train_cfg.compact_feed,
+                drop_remainder=(data_axis > 1 or n_proc > 1))
             for batch in prefetch_to_mesh(as_numpy(vds), mesh,
                                           multihost=n_proc > 1):
                 losses, metrics = eval_step(state, batch)
